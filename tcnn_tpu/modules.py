@@ -1,0 +1,158 @@
+"""User-facing module API - the analog of the reference's PyTorch extension.
+
+Mirrors tcnn's Python classes (bindings/torch/tinycudann/modules.py:209-329):
+`NetworkWithInputEncoding`, `Network`, `Encoding` - stateful wrappers around
+the functional core that
+
+  - hold the flat fp32 parameter vector (`.params`),
+  - pad the batch up to BATCH_SIZE_GRANULARITY and slice the output back
+    (modules.py:181-192),
+  - trim the padded output width to `n_output_dims`,
+  - expose `fwd` / `bwd` / `bwd_bwd_input` equivalents through JAX autodiff:
+    __call__ is differentiable to arbitrary order w.r.t. both the input and
+    `.params` (the reference needs hand-written second-order kernels for
+    this; here grad-of-grad just works).
+
+`Network` routes through an Identity encoding exactly like the reference's
+cpp_api (src/cpp_api.cu:151-153), so narrow inputs are one-padded to the
+network's input alignment (an effective bias channel).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .common import BATCH_SIZE_GRANULARITY, COMPUTE_DTYPE, next_multiple
+from .config import create_network_with_input_encoding
+from .registry import create_encoding
+
+
+class Module:
+    """Base: stateful parameter holder over a functional model."""
+
+    def __init__(self, model, seed: int = 1337, output_dtype=jnp.float32):
+        self.model = model
+        self.params = jnp.asarray(
+            model.init_params(jax.random.PRNGKey(seed)), jnp.float32
+        )
+        self.output_dtype = output_dtype
+        self._apply = jax.jit(self._apply_fn)
+
+    # functional core: padded-batch in, trimmed output out
+    def _apply_fn(self, params, x):
+        y = self.model.apply(params, x, compute_dtype=COMPUTE_DTYPE)
+        return y[:, : self.n_output_dims].astype(self.output_dtype)
+
+    def __call__(self, x, params=None):
+        params = self.params if params is None else params
+        b = x.shape[0]
+        padded_b = next_multiple(max(b, 1), BATCH_SIZE_GRANULARITY)
+        if padded_b != b:
+            x = jnp.pad(x, ((0, padded_b - b), (0, 0)), constant_values=1.0)
+        y = self._apply(params, x)
+        return y[:b]
+
+    # -- explicit autodiff endpoints (bindings.cpp fwd/bwd/bwd_bwd_input) --
+    def fwd(self, x, params=None):
+        params = self.params if params is None else params
+        y, vjp = jax.vjp(lambda p, xx: self.__call__(xx, p), params, x)
+        return y, vjp
+
+    def bwd(self, vjp, dL_dy):
+        """(dL_dparams, dL_dinput) - the reference returns (input, params)
+        grads from Module::bwd (bindings.cpp:112-171)."""
+        dparams, dx = vjp(dL_dy)
+        return dparams, dx
+
+    @property
+    def n_params(self) -> int:
+        return self.model.n_params
+
+    def initial_params(self, seed: int = 1337):
+        return jnp.asarray(
+            self.model.init_params(jax.random.PRNGKey(seed)), jnp.float32
+        )
+
+    @property
+    def n_output_dims(self) -> int:
+        return self.model.n_output_dims
+
+    def hyperparams(self):
+        return self.model.hyperparams()
+
+
+class NetworkWithInputEncoding(Module):
+    def __init__(
+        self,
+        n_input_dims: int,
+        n_output_dims: int,
+        encoding_config: dict,
+        network_config: dict,
+        seed: int = 1337,
+    ):
+        self.n_input_dims = int(n_input_dims)
+        model = create_network_with_input_encoding(
+            n_input_dims, n_output_dims, encoding_config, network_config
+        )
+        super().__init__(model, seed=seed)
+
+
+class Network(Module):
+    def __init__(
+        self,
+        n_input_dims: int,
+        n_output_dims: int,
+        network_config: dict,
+        seed: int = 1337,
+    ):
+        self.n_input_dims = int(n_input_dims)
+        model = create_network_with_input_encoding(
+            n_input_dims, n_output_dims, {"otype": "Identity"}, network_config
+        )
+        super().__init__(model, seed=seed)
+
+
+class Encoding(Module):
+    def __init__(
+        self,
+        n_input_dims: int,
+        encoding_config: dict,
+        seed: int = 1337,
+        dtype=None,
+    ):
+        self.n_input_dims = int(n_input_dims)
+        enc = create_encoding(n_input_dims, encoding_config)
+        model = _EncodingModel(enc)
+        super().__init__(
+            model,
+            seed=seed,
+            output_dtype=jnp.float32 if dtype in (None, jnp.float32) else dtype,
+        )
+
+
+class _EncodingModel:
+    """Adapter giving a bare Encoding the Network-ish model interface."""
+
+    def __init__(self, encoding):
+        self.encoding = encoding
+
+    @property
+    def n_output_dims(self):
+        return self.encoding.n_output_dims
+
+    @property
+    def n_params(self):
+        return self.encoding.n_params
+
+    def layer_sizes(self):
+        return self.encoding.layer_sizes()
+
+    def init_params(self, key):
+        return self.encoding.init_params(key)
+
+    def apply(self, params, x, *, compute_dtype=COMPUTE_DTYPE):
+        return self.encoding.apply(params, x, compute_dtype=compute_dtype)
+
+    def hyperparams(self):
+        return self.encoding.hyperparams()
