@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark: mlp_learning_an_image training throughput (config_hash).
+
+The reference headline: RTX 4090 trains the default config (HashGrid
+L16/F2/T2^15/base16/s1.5 + FFMLP 64x2, RelativeL2, Adam, batch 2^18) at
+~1000 steps/s = ~2.62e8 trained samples/s (README.md:75, BASELINE.md).
+
+This benchmark mirrors the reference protocol (bench_ours.cu:188-332):
+random-uniform coordinate batches sampled from the image each step, mean
+training throughput after warmup. Batch generation + bilinear image sampling
++ the full training step run inside ONE jitted program, the TPU analog of
+the reference's CUDA-graph-captured step.
+
+Prints one JSON line:
+    {"metric": ..., "value": N, "unit": "samples/s", "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import tcnn_tpu as tc
+from tcnn_tpu.utils.image import load_image, sample_image, synthetic_image
+
+BASELINE_SAMPLES_PER_SEC = 1000.0 * (1 << 18)  # RTX 4090, README.md:75
+REFERENCE_IMAGE = "/root/reference/data/images/albert.jpg"
+
+BATCH_SIZE = 1 << 18
+WARMUP_STEPS = 100
+TIMED_STEPS = 500
+
+
+def main():
+    if os.path.exists(REFERENCE_IMAGE):
+        image = load_image(REFERENCE_IMAGE)
+    else:
+        image = synthetic_image(1024, 1024)
+
+    config_path = os.path.join(os.path.dirname(__file__), "data", "config_hash.json")
+    config = tc.load_config(config_path)
+    model = tc.create_from_config(2, 3, config)
+    trainer = model.trainer
+
+    image_d = jnp.asarray(image)
+
+    def bench_step(state, key):
+        key, k = jax.random.split(key)
+        xy = jax.random.uniform(k, (BATCH_SIZE, 2))
+        rgb = sample_image(image_d, xy)
+        state, loss = trainer.train_step_fn(state, xy, rgb)
+        return state, key, loss
+
+    step = jax.jit(bench_step, donate_argnums=(0,))
+
+    state = trainer.state
+    key = jax.random.PRNGKey(1337)
+
+    t_compile = time.time()
+    state, key, loss = step(state, key)
+    jax.block_until_ready(loss)
+    compile_s = time.time() - t_compile
+
+    for _ in range(WARMUP_STEPS - 1):
+        state, key, loss = step(state, key)
+    jax.block_until_ready(loss)
+
+    t0 = time.time()
+    for _ in range(TIMED_STEPS):
+        state, key, loss = step(state, key)
+    jax.block_until_ready(loss)
+    dt = time.time() - t0
+
+    steps_per_sec = TIMED_STEPS / dt
+    samples_per_sec = steps_per_sec * BATCH_SIZE
+    final_loss = float(loss)
+
+    sys.stderr.write(
+        f"# device={jax.devices()[0].device_kind} compile={compile_s:.1f}s "
+        f"steps/s={steps_per_sec:.1f} final_loss={final_loss:.3e}\n"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "image_train_throughput_config_hash_b2^18",
+                "value": round(samples_per_sec, 1),
+                "unit": "samples/s",
+                "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -56,11 +56,25 @@ class NetworkWithInputEncoding(Network):
             [self.network.init_params(k_net), self.encoding.init_params(k_enc)]
         ).astype(np.float32)
 
-    def apply(self, params, x, *, compute_dtype=COMPUTE_DTYPE, max_level=None):
+    def apply(
+        self,
+        params,
+        x,
+        *,
+        compute_dtype=COMPUTE_DTYPE,
+        max_level=None,
+        prepare_input_gradients=False,
+    ):
+        """`prepare_input_gradients` mirrors the reference flag
+        (network_with_input_encoding.h:70-81): leave False unless gradients
+        w.r.t. `x` are needed - it unlocks the encoding's fast TPU path,
+        whose backward only produces parameter gradients."""
         net_p, enc_p = self.split_params(params)
         kwargs = {}
         if max_level is not None:
             kwargs["max_level"] = max_level
+        if getattr(self.encoding, "supports_input_grad_opt", False):
+            kwargs["needs_input_grad"] = prepare_input_gradients
         enc_out = self.encoding.apply(
             enc_p, x, compute_dtype=compute_dtype, **kwargs
         )

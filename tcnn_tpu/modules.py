@@ -32,31 +32,49 @@ class Module:
     """Base: stateful parameter holder over a functional model."""
 
     def __init__(self, model, seed: int = 1337, output_dtype=jnp.float32):
+        import inspect
+
         self.model = model
         self.params = jnp.asarray(
             model.init_params(jax.random.PRNGKey(seed)), jnp.float32
         )
         self.output_dtype = output_dtype
-        self._apply = jax.jit(self._apply_fn)
+        self._accepts_pig = (
+            "prepare_input_gradients"
+            in inspect.signature(model.apply).parameters
+        )
+        self._apply = jax.jit(self._apply_fn, static_argnums=(2,))
 
     # functional core: padded-batch in, trimmed output out
-    def _apply_fn(self, params, x):
-        y = self.model.apply(params, x, compute_dtype=COMPUTE_DTYPE)
+    def _apply_fn(self, params, x, prepare_input_gradients=False):
+        kwargs = (
+            {"prepare_input_gradients": prepare_input_gradients}
+            if self._accepts_pig
+            else {}
+        )
+        y = self.model.apply(params, x, compute_dtype=COMPUTE_DTYPE, **kwargs)
         return y[:, : self.n_output_dims].astype(self.output_dtype)
 
-    def __call__(self, x, params=None):
+    def __call__(self, x, params=None, prepare_input_gradients=False):
+        """Set prepare_input_gradients=True when differentiating w.r.t. `x`
+        (modules.py:91-104 passes x.requires_grad in the reference) - it
+        routes around kernels whose backward skips input gradients."""
         params = self.params if params is None else params
         b = x.shape[0]
         padded_b = next_multiple(max(b, 1), BATCH_SIZE_GRANULARITY)
         if padded_b != b:
             x = jnp.pad(x, ((0, padded_b - b), (0, 0)), constant_values=1.0)
-        y = self._apply(params, x)
+        y = self._apply(params, x, prepare_input_gradients)
         return y[:b]
 
     # -- explicit autodiff endpoints (bindings.cpp fwd/bwd/bwd_bwd_input) --
     def fwd(self, x, params=None):
         params = self.params if params is None else params
-        y, vjp = jax.vjp(lambda p, xx: self.__call__(xx, p), params, x)
+        y, vjp = jax.vjp(
+            lambda p, xx: self.__call__(xx, p, prepare_input_gradients=True),
+            params,
+            x,
+        )
         return y, vjp
 
     def bwd(self, vjp, dL_dy):

@@ -153,6 +153,17 @@ class GridEncoding(Encoding):
         self._resolutions = np.asarray(resolutions, dtype=np.uint32)
         self._scales = np.asarray(scales, dtype=np.float32)
         self._total_table_rows = offset
+        self._kernel_plan_cache = ()  # unset sentinel
+
+    #: NetworkWithInputEncoding checks this to thread needs_input_grad
+    supports_input_grad_opt = True
+
+    def _kernel_plan(self):
+        if self._kernel_plan_cache == ():
+            from ..pallas.grid_kernel import plan_for
+
+            self._kernel_plan_cache = plan_for(self)
+        return self._kernel_plan_cache
 
     # -- shape / params -----------------------------------------------------
     @property
@@ -205,13 +216,60 @@ class GridEncoding(Encoding):
 
     # -- forward ------------------------------------------------------------
     def apply_unpadded(
-        self, params, x, *, compute_dtype=COMPUTE_DTYPE, max_level=None
+        self,
+        params,
+        x,
+        *,
+        compute_dtype=COMPUTE_DTYPE,
+        max_level=None,
+        needs_input_grad=True,
+        impl=None,
     ):
         """x: [B, D] fp32 in (roughly) [0, 1]^D -> [B, L*F].
 
         Output dim order is level-major, feature-minor (the reference's SoA
         row order, grid.h:146-148).
+
+        When `needs_input_grad` is False (the composed-model fast path - the
+        analog of the reference's prepare_input_gradients=false,
+        network_with_input_encoding.h:70-81) and the config is supported, the
+        TPU Pallas kernels are used; their backward produces table gradients
+        only (dL/dx is zero on that path by contract). `impl` forces
+        "pallas"/"xla".
         """
+        use_pallas = impl == "pallas" or (
+            impl in (None, "auto")
+            and not needs_input_grad
+            and jax.default_backend() == "tpu"
+        )
+        if use_pallas:
+            plan = self._kernel_plan()
+            if plan is not None:
+                from ..pallas.grid_kernel import grid_encode_pallas
+
+                y = grid_encode_pallas(plan, params, x).astype(compute_dtype)
+                return self._mask_max_level(y, x.shape[0], max_level)
+            if impl == "pallas":
+                raise NotImplementedError(
+                    "grid config unsupported by the Pallas kernel"
+                )
+        return self._apply_xla(
+            params, x, compute_dtype=compute_dtype, max_level=max_level
+        )
+
+    def _mask_max_level(self, y, B, max_level):
+        L, F = self.n_levels, self.n_features_per_level
+        ml = max_level if max_level is not None else self.max_level
+        if ml is None:
+            return y
+        ml = jnp.asarray(ml, dtype=jnp.float32)
+        lvl_ids = jnp.arange(L, dtype=jnp.float32)
+        keep = lvl_ids[None, :] < (ml * L + 1e-3).reshape(-1, 1)
+        y = y.reshape(B, L, F)
+        y = jnp.where(keep[..., None], y, 0)
+        return y.reshape(B, L * F)
+
+    def _apply_xla(self, params, x, *, compute_dtype=COMPUTE_DTYPE, max_level=None):
         B = x.shape[0]
         L, F, D = self.n_levels, self.n_features_per_level, self.n_dims_to_encode
         C = 1 << D
@@ -263,10 +321,8 @@ class GridEncoding(Encoding):
 
         return out.reshape(B, L * F).astype(compute_dtype)
 
-    def apply(self, params, x, *, compute_dtype=COMPUTE_DTYPE, max_level=None):
-        y = self.apply_unpadded(
-            params, x, compute_dtype=compute_dtype, max_level=max_level
-        )
+    def apply(self, params, x, *, compute_dtype=COMPUTE_DTYPE, **kwargs):
+        y = self.apply_unpadded(params, x, compute_dtype=compute_dtype, **kwargs)
         if self.n_to_pad:
             y = jnp.pad(y, ((0, 0), (0, self.n_to_pad)), constant_values=0.0)
         return y

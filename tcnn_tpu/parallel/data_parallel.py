@@ -1,0 +1,98 @@
+"""Multi-chip data parallelism.
+
+The reference is strictly single-GPU (SURVEY.md 2.9: no distributed backend
+of any kind). This module is the NEW capability the TPU build adds: the
+sample/ray batch - the reference's only "long axis" - is sharded across a
+`jax.sharding.Mesh` ('data' axis over ICI/DCN), parameters are replicated,
+and the per-shard parameter gradients are mean-reduced with `psum` inside a
+`shard_map`ped step. XLA's latency-hiding scheduler overlaps the all-reduce
+with the remaining backward computation (the TPU analog of the reference's
+wgrad-on-forked-streams overlap, fully_fused_mlp.cu:784-828).
+
+Gradient determinism note: because grid-table gradients are XLA scatter-adds
+(not atomics), per-shard gradients are deterministic, and the psum tree makes
+the reduced gradient identical across hosts - enabling the exact multi-host
+gradient-allclose the reference cannot offer.
+
+Usage:
+    mesh = create_mesh()                     # all visible devices
+    dp = DataParallelTrainer(trainer, mesh)
+    state = dp.replicate(trainer.state)
+    state, loss = dp.step(state, x, y)       # x, y sharded on axis 0
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(devices=None, axis_name: str = "data") -> Mesh:
+    """1-D mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+class DataParallelTrainer:
+    """Wraps a Trainer's pure step with batch sharding + grad all-reduce."""
+
+    def __init__(self, trainer, mesh: Mesh, axis_name: str = "data"):
+        self.trainer = trainer
+        self.mesh = mesh
+        self.axis = axis_name
+        n_dev = mesh.devices.size
+
+        replicated = NamedSharding(mesh, P())
+        batch_sharded = NamedSharding(mesh, P(axis_name))
+
+        def step(state, inputs, targets, pdf):
+            def shard_fn(state, inputs, targets, pdf):
+                # per-shard loss normalizes by the LOCAL batch; pmean restores
+                # the reference's global-batch 1/n_total semantics
+                rng = jax.random.fold_in(
+                    state["rng"], jax.lax.axis_index(axis_name)
+                )
+                loss_value, grads = trainer.loss_and_grad_fn(
+                    state["params"], inputs, targets, pdf, rng
+                )
+                grads = jax.lax.pmean(grads, axis_name)
+                loss_value = jax.lax.pmean(loss_value, axis_name)
+                # optimizer runs replicated (identical on every shard)
+                opt_state, params = trainer.optimizer.step(
+                    state["opt"], trainer.loss_scale, state["params"], grads
+                )
+                new_rng = jax.random.split(state["rng"])[0]
+                return (
+                    {"params": params, "opt": opt_state, "rng": new_rng},
+                    loss_value,
+                )
+
+            return jax.shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=(P(), P(axis_name), P(axis_name), P(axis_name)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(state, inputs, targets, pdf)
+
+        self._step = jax.jit(step)
+        self._replicated = replicated
+        self._batch_sharded = batch_sharded
+        self._n_dev = n_dev
+
+    def replicate(self, state):
+        return jax.device_put(state, self._replicated)
+
+    def shard_batch(self, *arrays):
+        return tuple(jax.device_put(a, self._batch_sharded) for a in arrays)
+
+    def step(self, state, inputs, targets, pdf=None):
+        if pdf is None:
+            pdf = jnp.ones_like(targets)
+        inputs, targets, pdf = self.shard_batch(inputs, targets, pdf)
+        return self._step(state, inputs, targets, pdf)
