@@ -9,3 +9,4 @@ from .fixed import (  # noqa: F401
     TriangleWaveEncoding,
 )
 from .grid import GridEncoding  # noqa: F401
+from .ppng import PPNG1Encoding, PPNG2Encoding, PPNG3Encoding  # noqa: F401

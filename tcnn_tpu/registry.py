@@ -32,6 +32,7 @@ from .ops.encodings.fixed import (
     TriangleWaveEncoding,
 )
 from .ops.encodings.grid import GridEncoding
+from .ops.encodings.ppng import PPNG1Encoding, PPNG2Encoding, PPNG3Encoding
 from .ops import losses as _losses
 from .models.mlp import CutlassMLP, FullyFusedMLP
 from .optimizers.adam import AdamOptimizer
@@ -238,6 +239,28 @@ register_encoding(
 )
 register_encoding("OneBlobFrequency", _make_nrc)
 register_encoding("NRC", _make_nrc)
+
+
+def _make_ppng(cls):
+    def make(n_dims, cfg):
+        # factory defaults: ppng_1.h:340-367 (shared by all three variants)
+        kw = dict(
+            log2_min_freq=int(cfg_get(cfg, "log2_min_freq", 0)),
+            log2_max_freq=int(cfg_get(cfg, "log2_max_freq", 6)),
+            n_quants=int(cfg_get(cfg, "n_quants", 64)),
+            n_frequencies=int(cfg_get(cfg, "n_frequencies", 6)),
+            n_features=int(cfg_get(cfg, "n_features", 4)),
+        )
+        if cls is not PPNG3Encoding:
+            kw["rank"] = int(cfg_get(cfg, "rank", 4))
+        return cls(n_dims, **kw)
+
+    return make
+
+
+register_encoding("PPNG1", _make_ppng(PPNG1Encoding))
+register_encoding("PPNG2", _make_ppng(PPNG2Encoding))
+register_encoding("PPNG3", _make_ppng(PPNG3Encoding))
 
 # ---------------------------------------------------------------------------
 # Networks
