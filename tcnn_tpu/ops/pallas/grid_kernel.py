@@ -1,47 +1,56 @@
 """Pallas TPU kernels for the multiresolution grid encoding.
 
-Design rationale (measured on TPU v5e, see git history): XLA's generic
-gather runs at ~160M rows/s and scatter-add at ~16M updates/s - three orders
-of magnitude off the reference's CUDA kernels (grid.h:48-320), which exploit
-L2-cached atomics. Mosaic has no large-table vector gather ("multiple source
-vregs along gather dimension" is unsupported) and no scatter at all, so both
-directions are reformulated as *matmuls against on-the-fly one-hot matrices*,
-which the MXU executes at full rate and which are exactly reproducible
-(deterministic - unlike the reference's atomicAdd races):
+TPU-native re-design of kernel_grid / kernel_grid_backward
+(/root/reference/include/tiny-cuda-nn/encodings/grid.h:48-320). The CUDA
+kernels are one-thread-per-sample random-access programs served by the GPU's
+L2 cache; the TPU has no per-lane random access into large buffers (Mosaic's
+dynamic gather covers a single 128-lane vreg), so both directions are
+reformulated as *matmuls against on-the-fly one-hot matrices*, which the MXU
+executes at full rate and which are exactly reproducible (deterministic -
+unlike the reference's atomicAdd races, vec.h:300-347):
 
-  forward   y[n]        = onehot_hi[n, :] @ table[:, :]  then a 128-lane pick
-  backward  dL/dtable   = onehot_hi^T @ (onehot_lo * w * dL/dy)
+  forward   y[n]      = onehot_hi[n, :] @ table_block[:, :]   then a 128-lane
+                        pick of lo = idx & 127
+  backward  dL/dtable = onehot_hi^T @ (onehot_lo * w * dL/dy)
 
-with idx split as idx = hi*128 + lo. The one-hot over `hi` (rows of
-128-element table blocks) feeds the MXU; the residual 128-way `lo` selection
-is an intra-vreg lane gather (the one dynamic gather Mosaic supports).
+with idx split as idx = hi*128 + lo. Measured on TPU v5e: XLA's native
+gather runs at 0.2 G rows/s and scatter-add at 16 M upd/s - both orders of
+magnitude short of the 16.7M gathers/step this encoding needs - while the
+one-hot matmul turns the problem into dense MXU work.
 
-Layout: tables are repacked per level into [L, F, Hmax, 128] (feature-planar,
-row-blocked), padded to a common Hmax, resident in VMEM for the whole kernel;
-the grid is over batch tiles only and all per-level constants (scale,
-resolution, strides, hash/dense mode) are Python-static, so the level loop
-fully unrolls with no scalar bookkeeping.
+Layout and scheduling choices (v2, measured):
+  - tables are packed per level at their EXACT 128-row-block count
+    [H_l, 128*F] (features side by side in lanes), concatenated into one
+    [H_total, 128*F] VMEM-resident buffer - no padding to a common max;
+  - per level, all 2^D corners are stacked along the matmul M dimension:
+    ONE [C*Nt, H_l] @ [H_l, 128*F] matmul per level serves every corner and
+    every feature (bigger matmuls, fewer ops, ~4x fewer Mosaic instructions
+    than the per-corner-per-feature formulation);
+  - index math is lane-oriented: positions/cells/fractions for ALL levels
+    are computed in [Nt, D*L] arrays (levels and dims in lanes), so the
+    VPU processes 128 samples per op instead of 1 (the naive [Nt, 1]
+    formulation wastes 127/128 lanes);
+  - the backward kernel accumulates dL/dtable in VMEM across batch tiles
+    (the analog of the reference's single-pass atomicAdd accumulation) and
+    produces table gradients only; dL/dx uses the XLA path (the composed
+    model never needs it when the encoding is the first layer - same
+    optimization as prepare_input_gradients=false,
+    network_with_input_encoding.h:70-81).
 
-Index math matches grid_index (common_device.h:690-707) exactly for hashed
-levels (hashed levels always have power-of-two size, so the modulo is a
-mask, correct in int32 for any wrapped hash value) and for dense/tiled
-levels with indices < 2^24 (exact float32 modulo; the plan refuses configs
-beyond that and falls back to the XLA path).
+Index math matches grid_index (common_device.h:690-707): hashed levels are
+always power-of-two so the modulo is a bit-mask (correct in int32 for any
+wrapped hash value); dense/tiled levels use exact float32 modulo, guarded by
+plan_for to indices < 2^24 (falls back to the XLA path beyond).
 
 Supported (plan_for returns None otherwise, falling back to the jnp oracle):
 Linear/Smoothstep/Nearest interpolation, Prime/CoherentPrime/ReversedPrime
-hashes, 2-4 input dims, any n_features_per_level, packed table <= 8 MB VMEM.
-The backward kernel produces table gradients only; input gradients
-(dL/dx) use the XLA path (the composed model never needs them when the
-encoding is the first layer - the reference makes the same optimization via
-prepare_input_gradients, network_with_input_encoding.h:70-81).
+hashes, 2-4 input dims, any n_features_per_level, packed table <= 24 MB.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -52,8 +61,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...common import GridType, HashType, InterpolationType, smoothstep
 
 LANE = 128
-DEFAULT_BATCH_TILE = 1024
-MAX_PACKED_TABLE_BYTES = 8 * 1024 * 1024
+MAX_PACKED_TABLE_BYTES = 24 * 1024 * 1024
 MAX_DENSE_INDEX = 1 << 24  # float32-exact integer range guard
 
 
@@ -61,7 +69,8 @@ MAX_DENSE_INDEX = 1 << 24  # float32-exact integer range guard
 class _Level:
     scale: float
     size: int
-    resolution: int
+    h: int  # number of 128-row blocks (exact, per level)
+    row_off: int  # block-row offset into the packed table
     use_hash: bool
     pow2: bool
     strides: tuple  # uint32-wrapped dense strides per dim
@@ -73,16 +82,22 @@ class GridKernelPlan:
     d: int
     n_levels: int
     f: int
-    h_max: int
+    h_total: int
     levels: tuple
     hash_factors: tuple
     interpolation: InterpolationType
-    offsets: tuple  # per-level row offset into the flat table
-    batch_tile: int = DEFAULT_BATCH_TILE
+    offsets: tuple  # per-level feature-row offset into the flat param vector
+    batch_tile: int
 
     @property
     def out_width(self):
         return self.n_levels * self.f
+
+    @property
+    def n_corners(self):
+        if self.interpolation == InterpolationType.Nearest:
+            return 1
+        return 1 << self.d
 
 
 def plan_for(enc) -> GridKernelPlan | None:
@@ -97,7 +112,7 @@ def plan_for(enc) -> GridKernelPlan | None:
     from ..encodings.grid import _hash_factors
 
     levels = []
-    h_max = 0
+    h_total = 0
     for lvl in range(enc.n_levels):
         size = int(enc._sizes[lvl])
         res = int(enc._resolutions[lvl])
@@ -119,78 +134,73 @@ def plan_for(enc) -> GridKernelPlan | None:
             max_index = sum(s * max_cell for s in strides)
             if max_index >= MAX_DENSE_INDEX:
                 return None
+        h = -(-size // LANE)
         levels.append(
-            _Level(scale, size, res, use_hash, pow2, tuple(strides), tuple(alive))
+            _Level(
+                scale, size, h, h_total, use_hash, pow2, tuple(strides),
+                tuple(alive),
+            )
         )
-        h_max = max(h_max, -(-size // LANE))
+        h_total += h
 
-    h_max = max(8, -(-h_max // 8) * 8)
     plan = GridKernelPlan(
         d=enc.n_dims_to_encode,
         n_levels=enc.n_levels,
         f=enc.n_features_per_level,
-        h_max=h_max,
+        h_total=h_total,
         levels=tuple(levels),
         hash_factors=tuple(
             int(v) for v in _hash_factors(enc.hash_type, enc.n_dims_to_encode)
         ),
         interpolation=enc.interpolation,
         offsets=tuple(int(o) for o in enc._offsets[: enc.n_levels]),
+        # C*Nt-row intermediates: keep corners*tile <= 8192 rows (VMEM)
+        batch_tile=1024 if enc.n_dims_to_encode < 4 else 512,
     )
-    packed_bytes = plan.n_levels * plan.f * plan.h_max * LANE * 2
+    packed_bytes = plan.h_total * LANE * plan.f * 2
     if packed_bytes > MAX_PACKED_TABLE_BYTES:
         return None
     return plan
 
 
 # ---------------------------------------------------------------------------
-# Table repacking: flat params <-> [L, F, Hmax, 128]
+# Table repacking: flat params <-> [H_total, 128*F]
 # ---------------------------------------------------------------------------
 
 
 def repack_table(plan: GridKernelPlan, params):
-    """flat fp32 [n_params] -> bf16 [L, F, Hmax, 128] (row r of level l sits
-    at [l, :, r // 128, r % 128])."""
+    """flat fp32 [n_params] -> bf16 [H_total, 128*F]: row r of level l sits
+    at packed[level.row_off + r // 128, r % 128 + f*128] for feature f."""
     table = params.reshape(-1, plan.f)  # [total_rows, F]
     per_level = []
-    hm = plan.h_max
     for lvl, level in enumerate(plan.levels):
         off = plan.offsets[lvl]
         rows = table[off : off + level.size]  # [size, F]
-        rows = jnp.pad(rows, ((0, hm * LANE - level.size), (0, 0)))
-        per_level.append(rows.reshape(hm, LANE, plan.f).transpose(2, 0, 1))
-    return jnp.stack(per_level).astype(jnp.bfloat16)  # [L, F, Hmax, 128]
+        rows = jnp.pad(rows, ((0, level.h * LANE - level.size), (0, 0)))
+        blocks = rows.reshape(level.h, LANE, plan.f)  # [H, 128, F]
+        per_level.append(
+            jnp.concatenate([blocks[:, :, f] for f in range(plan.f)], axis=1)
+        )  # [H, 128*F]
+    return jnp.concatenate(per_level, axis=0).astype(jnp.bfloat16)
 
 
 def unpack_table_grads(plan: GridKernelPlan, packed, n_params: int):
-    """[L, F, Hmax, 128] f32 -> flat fp32 [n_params]."""
+    """[H_total, 128*F] f32 -> flat fp32 [n_params]."""
     parts = []
-    for lvl, level in enumerate(plan.levels):
-        g = packed[lvl].transpose(1, 2, 0).reshape(plan.h_max * LANE, plan.f)
-        parts.append(g[: level.size].reshape(-1))
+    for level in plan.levels:
+        block = packed[level.row_off : level.row_off + level.h]  # [H, 128F]
+        feats = [
+            block[:, f * LANE : (f + 1) * LANE].reshape(level.h * LANE)
+            for f in range(plan.f)
+        ]
+        rows = jnp.stack(feats, axis=-1)[: level.size]  # [size, F]
+        parts.append(rows.reshape(-1))
     return jnp.concatenate(parts)
 
 
 # ---------------------------------------------------------------------------
-# Shared in-kernel index math
+# Shared in-kernel math (lane-oriented: levels x dims live in lanes)
 # ---------------------------------------------------------------------------
-
-
-def _corner_bits(d: int):
-    return [[(c >> dim) & 1 for dim in range(d)] for c in range(1 << d)]
-
-
-def _level_pos(x, level: _Level, interp):
-    """x [Nt, D] f32 -> (cells int32 [Nt, D], weights f32 [Nt, D])."""
-    pos = x * level.scale + 0.5
-    cell_f = jnp.floor(pos)
-    fract = pos - cell_f
-    cells = cell_f.astype(jnp.int32)
-    if interp == InterpolationType.Smoothstep:
-        w = smoothstep(fract)
-    else:
-        w = fract
-    return cells, w
 
 
 def _as_i32(v: int) -> int:
@@ -200,44 +210,119 @@ def _as_i32(v: int) -> int:
     return v - (1 << 32) if v >= (1 << 31) else v
 
 
-def _corner_index(plan: GridKernelPlan, level: _Level, cells, bits):
-    """Table row index [Nt, 1] int32 for one corner, mirroring grid_index."""
-    nt = cells.shape[0]
-    idx = jnp.zeros((nt, 1), jnp.int32)
-    for dim in range(plan.d):
-        c = cells[:, dim : dim + 1] + bits[dim]
-        if level.alive[dim]:
-            idx = idx + c * _as_i32(level.strides[dim])
-    if level.use_hash:
-        h = jnp.zeros((nt, 1), jnp.int32)
-        for dim in range(plan.d):
-            c = cells[:, dim : dim + 1] + bits[dim]
-            h = h ^ (c * _as_i32(plan.hash_factors[dim]))
-        idx = h
-    if level.pow2:
-        idx = idx & (level.size - 1)
+#: order of the constant-row kernel inputs built by _plan_constants
+_CONST_NAMES = (
+    "scales",  # f32 [1, D*L]
+    "strides",  # i32 [1, D*L]
+    "factors",  # i32 [1, D*L]
+    "hash_mask",  # i32 [1, L] (1 = hashed level)
+    "pow2_mask",  # i32 [1, L] (1 = power-of-two table size)
+    "size_m1",  # i32 [1, L]
+    "size_f",  # f32 [1, L]
+)
+
+
+def _plan_constants(plan: GridKernelPlan):
+    """Per-lane constant rows in the dim-major [1, D*L] layout (col = d*L+l).
+    Pallas kernels may not capture array constants, so these are passed as
+    (tiny, replicated) kernel inputs."""
+    L, D = plan.n_levels, plan.d
+    scales = np.zeros(D * L, np.float32)
+    strides = np.zeros(D * L, np.int64)
+    factors = np.zeros(D * L, np.int64)
+    for d in range(D):
+        for l, level in enumerate(plan.levels):
+            scales[d * L + l] = level.scale
+            strides[d * L + l] = (
+                _as_i32(level.strides[d]) if level.alive[d] else 0
+            )
+            factors[d * L + l] = _as_i32(plan.hash_factors[d])
+    hash_mask = np.asarray(
+        [1 if lvl.use_hash else 0 for lvl in plan.levels], np.int32
+    )
+    pow2_mask = np.asarray(
+        [1 if lvl.pow2 else 0 for lvl in plan.levels], np.int32
+    )
+    size_m1 = np.asarray([lvl.size - 1 for lvl in plan.levels], np.int32)
+    size_f = np.asarray([lvl.size for lvl in plan.levels], np.float32)
+    return {
+        "scales": scales[None, :],
+        "strides": strides.astype(np.int32)[None, :],
+        "factors": factors.astype(np.int32)[None, :],
+        "hash_mask": hash_mask[None, :],
+        "pow2_mask": pow2_mask[None, :],
+        "size_m1": size_m1[None, :],
+        "size_f": size_f[None, :],
+    }
+
+
+def _const_specs(consts):
+    return [
+        pl.BlockSpec(
+            consts[name].shape, lambda g: (0, 0), memory_space=pltpu.VMEM
+        )
+        for name in _CONST_NAMES
+    ]
+
+
+def _const_args(consts):
+    return [jnp.asarray(consts[name]) for name in _CONST_NAMES]
+
+
+def _positions(plan: GridKernelPlan, x, cr):
+    """x [Nt, D] -> (cells i32 [Nt, D*L], w f32 [Nt, D*L]) dim-major lanes."""
+    L, D = plan.n_levels, plan.d
+    # [Nt, D*L]: column d*L + l carries dim d of level l
+    xx = jnp.concatenate(
+        [jnp.broadcast_to(x[:, d : d + 1], (x.shape[0], L)) for d in range(D)],
+        axis=1,
+    )
+    pos = xx * cr["scales"] + 0.5
+    cell_f = jnp.floor(pos)
+    fract = pos - cell_f
+    cells = cell_f.astype(jnp.int32)
+    if plan.interpolation == InterpolationType.Smoothstep:
+        w = smoothstep(fract)
     else:
-        # exact for 0 <= idx < 2^24 (guaranteed by plan_for)
-        fidx = idx.astype(jnp.float32)
-        q = jnp.floor(fidx / level.size)
-        idx = (fidx - q * level.size).astype(jnp.int32)
-    return idx
+        w = fract
+    return cells, w
 
 
-def _corner_weight(w, bits):
-    out = None
-    for dim, b in enumerate(bits):
-        wd = w[:, dim : dim + 1]
-        term = wd if b else (1.0 - wd)
-        out = term if out is None else out * term
+def _corner_indices_and_weights(plan: GridKernelPlan, cells, w, cr):
+    """Returns per-corner (idx [Nt, L] i32, weight [Nt, L] f32 or None)."""
+    L, D = plan.n_levels, plan.d
+
+    nearest = plan.interpolation == InterpolationType.Nearest
+    corners = [0] if nearest else range(1 << D)
+    # per-corner bit rows are compile-time 0/1 patterns; build them from the
+    # strides/factors rows with python-scalar selects (no array constants)
+    dim_cols = [slice(d * L, (d + 1) * L) for d in range(D)]
+    out = []
+    for corner in corners:
+        csum = None
+        hxor = None
+        cw = None
+        for d in range(D):
+            bit = (corner >> d) & 1
+            cc = cells[:, dim_cols[d]] + bit  # [Nt, L]
+            dmul = cc * cr["strides"][:, dim_cols[d]]
+            hmul = cc * cr["factors"][:, dim_cols[d]]
+            csum = dmul if csum is None else csum + dmul
+            hxor = hmul if hxor is None else hxor ^ hmul
+            if not nearest:
+                wd = w[:, dim_cols[d]]
+                term = wd if bit else 1.0 - wd
+                cw = term if cw is None else cw * term
+        raw = jnp.where(cr["hash_mask"] == 1, hxor, csum)  # [Nt, L]
+
+        idx_and = raw & cr["size_m1"]
+        fraw = raw.astype(jnp.float32)
+        idx_fmod = (
+            fraw - jnp.floor(fraw / cr["size_f"]) * cr["size_f"]
+        ).astype(jnp.int32)
+        idx = jnp.where(cr["pow2_mask"] == 1, idx_and, idx_fmod)
+        out.append((idx, cw))
     return out
-
-
-def _lane_pick(g, lo):
-    """g [Nt, 128] f32, lo [Nt, 1] int32 -> [Nt, 1]: g[n, lo[n]]."""
-    nt = g.shape[0]
-    lo_b = jnp.broadcast_to(lo, (nt, LANE))
-    return jnp.take_along_axis(g, lo_b, axis=1)[:, :1]
 
 
 # ---------------------------------------------------------------------------
@@ -245,49 +330,73 @@ def _lane_pick(g, lo):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(x_ref, table_ref, y_ref, *, plan: GridKernelPlan):
+def _stacked_hi_lo_w(plan, cells, w, cr):
+    """Corner-stacked index planes: HI, LO i32 [C*Nt, L]; W f32 [C*Nt, L]
+    (or None for Nearest). Computed in wide lane-packed ops ONCE - thin
+    [*, 1] column arithmetic is catastrophically wasteful on the VPU (each
+    op touches a full [8, 128] vreg for 8 useful values)."""
+    per_corner = _corner_indices_and_weights(plan, cells, w, cr)
+    idx = jnp.concatenate([i for i, _ in per_corner], axis=0)  # [C*Nt, L]
+    hi = idx >> 7
+    lo = idx & (LANE - 1)
+    if per_corner[0][1] is None:
+        return hi, lo, None
+    cw = jnp.concatenate([w_ for _, w_ in per_corner], axis=0)
+    return hi, lo, cw
+
+
+def _fwd_kernel(x_ref, table_ref, *const_and_out, plan: GridKernelPlan):
+    const_refs, y_ref = const_and_out[:-1], const_and_out[-1]
+    cr = {name: ref[:] for name, ref in zip(_CONST_NAMES, const_refs)}
     x = x_ref[:]
     nt = x.shape[0]
-    interp = plan.interpolation
-    corners = (
-        [[0] * plan.d]
-        if interp == InterpolationType.Nearest
-        else _corner_bits(plan.d)
-    )
+    F, C, L = plan.f, plan.n_corners, plan.n_levels
 
-    cols = []
-    for lvl, level in enumerate(plan.levels):
-        cells, w = _level_pos(x, level, interp)
-        acc = [jnp.zeros((nt, 1), jnp.float32) for _ in range(plan.f)]
-        for bits in corners:
-            idx = _corner_index(plan, level, cells, bits)
-            hi = idx >> 7
-            lo = idx & (LANE - 1)
-            oh = (
-                hi == jax.lax.broadcasted_iota(jnp.int32, (nt, plan.h_max), 1)
-            ).astype(jnp.bfloat16)
-            cw = (
-                None
-                if interp == InterpolationType.Nearest
-                else _corner_weight(w, bits)
-            )
-            for f in range(plan.f):
-                g = jnp.dot(
-                    oh, table_ref[lvl, f], preferred_element_type=jnp.float32
+    cells, w = _positions(plan, x, cr)
+    hi, lo, cw = _stacked_hi_lo_w(plan, cells, w, cr)
+
+    # feature-MAJOR column order inside the kernel (col = f*L + l): the
+    # weight expansion is then a plain lane concat (Mosaic rejects the
+    # interleaving reshape); the wrapper permutes back to l-major f-minor.
+    cols = [[] for _ in range(F)]
+    for l, level in enumerate(plan.levels):
+        oh = (
+            hi[:, l : l + 1]
+            == jax.lax.broadcasted_iota(jnp.int32, (C * nt, level.h), 1)
+        ).astype(jnp.bfloat16)
+        tbl = table_ref[level.row_off : level.row_off + level.h, :]
+        g = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)  # [CNt,128F]
+        # extract column lo via mask + lane reduction: 1.7x faster than
+        # Mosaic's take_along_axis lane gather (measured), bit-identical
+        ohlo = (
+            lo[:, l : l + 1]
+            == jax.lax.broadcasted_iota(jnp.int32, (C * nt, LANE), 1)
+        ).astype(jnp.float32)
+        for f in range(F):
+            cols[f].append(
+                jnp.sum(
+                    g[:, f * LANE : (f + 1) * LANE] * ohlo,
+                    axis=1,
+                    keepdims=True,
                 )
-                val = _lane_pick(g, lo)
-                acc[f] = acc[f] + (val if cw is None else cw * val)
-        cols.extend(acc)
+            )
 
-    y_ref[:] = jnp.concatenate(cols, axis=1).astype(y_ref.dtype)
+    picked = jnp.concatenate(sum(cols, []), axis=1)  # [C*Nt, F*L] f-major
+    if cw is not None:
+        cwf = jnp.concatenate([cw] * F, axis=1) if F > 1 else cw
+        picked = picked * cwf
+    y_ref[:] = picked.reshape(C, nt, F * L).sum(axis=0).astype(y_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
-# Backward kernel (table gradients)
+# Backward kernel (table gradients; deterministic, accumulated across tiles)
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(x_ref, gy_ref, gtable_ref, *, plan: GridKernelPlan):
+def _bwd_kernel(x_ref, gy_ref, *const_and_out, plan: GridKernelPlan):
+    const_refs, gtable_ref = const_and_out[:-1], const_and_out[-1]
+    cr = {name: ref[:] for name, ref in zip(_CONST_NAMES, const_refs)}
+
     @pl.when(pl.program_id(0) == 0)
     def _init():
         gtable_ref[:] = jnp.zeros_like(gtable_ref)
@@ -295,113 +404,126 @@ def _bwd_kernel(x_ref, gy_ref, gtable_ref, *, plan: GridKernelPlan):
     x = x_ref[:]
     gy = gy_ref[:].astype(jnp.float32)
     nt = x.shape[0]
-    interp = plan.interpolation
-    corners = (
-        [[0] * plan.d]
-        if interp == InterpolationType.Nearest
-        else _corner_bits(plan.d)
-    )
+    F, C, L = plan.f, plan.n_corners, plan.n_levels
 
-    for lvl, level in enumerate(plan.levels):
-        cells, w = _level_pos(x, level, interp)
-        for bits in corners:
-            idx = _corner_index(plan, level, cells, bits)
-            hi = idx >> 7
-            lo = idx & (LANE - 1)
-            oh = (
-                hi == jax.lax.broadcasted_iota(jnp.int32, (nt, plan.h_max), 1)
-            ).astype(jnp.bfloat16)
-            ohlo = (
-                lo == jax.lax.broadcasted_iota(jnp.int32, (nt, LANE), 1)
-            ).astype(jnp.float32)
-            cw = (
-                None
-                if interp == InterpolationType.Nearest
-                else _corner_weight(w, bits)
-            )
-            for f in range(plan.f):
-                gyf = gy[:, lvl * plan.f + f : lvl * plan.f + f + 1]
-                weighted = gyf if cw is None else cw * gyf
-                rhs = (ohlo * weighted).astype(jnp.bfloat16)  # [Nt, 128]
-                contrib = jax.lax.dot_general(
-                    oh,
-                    rhs,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [Hmax, 128]
-                gtable_ref[lvl, f] = gtable_ref[lvl, f] + contrib
+    cells, w = _positions(plan, x, cr)
+    hi, lo, cw = _stacked_hi_lo_w(plan, cells, w, cr)
+
+    # per-sample scatter values in feature-MAJOR lanes (col = f*L + l):
+    # a[:, f*L+l] = w_corner * dL/dy_{l,f}; gy arrives already permuted to
+    # f-major by the wrapper. Computed ONCE in a wide lane-packed array.
+    a = jnp.concatenate([gy] * C, axis=0)  # [C*Nt, F*L]
+    if cw is not None:
+        cwf = jnp.concatenate([cw] * F, axis=1) if F > 1 else cw
+        a = a * cwf
+
+    for l, level in enumerate(plan.levels):
+        oh = (
+            hi[:, l : l + 1]
+            == jax.lax.broadcasted_iota(jnp.int32, (C * nt, level.h), 1)
+        ).astype(jnp.bfloat16)
+        ohlo = (
+            lo[:, l : l + 1]
+            == jax.lax.broadcasted_iota(jnp.int32, (C * nt, LANE), 1)
+        ).astype(jnp.float32)
+        rhs = jnp.concatenate(
+            [ohlo * a[:, f * L + l : f * L + l + 1] for f in range(F)],
+            axis=1,
+        ).astype(jnp.bfloat16)  # [C*Nt, 128*F]
+        contrib = jax.lax.dot_general(
+            oh,
+            rhs,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [H_l, 128*F]
+        sl = slice(level.row_off, level.row_off + level.h)
+        gtable_ref[sl, :] = gtable_ref[sl, :] + contrib
 
 
 # ---------------------------------------------------------------------------
 # pallas_call wrappers + custom VJP
 # ---------------------------------------------------------------------------
 
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
+
 
 def _fwd_call(plan: GridKernelPlan, table_packed, x):
     b = x.shape[0]
     nt = plan.batch_tile
-    grid = b // nt
+    consts = _plan_constants(plan)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, plan=plan),
-        grid=(grid,),
+        grid=(b // nt,),
         in_specs=[
             pl.BlockSpec((nt, x.shape[1]), lambda g: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (plan.n_levels, plan.f, plan.h_max, LANE),
-                lambda g: (0, 0, 0, 0),
+                (plan.h_total, LANE * plan.f),
+                lambda g: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
-        ],
+        ]
+        + _const_specs(consts),
         out_specs=pl.BlockSpec(
             (nt, plan.out_width), lambda g: (g, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, plan.out_width), jnp.bfloat16),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-    )(x, table_packed)
+        compiler_params=_VMEM_LIMIT,
+    )(x, table_packed, *_const_args(consts))
 
 
 def _bwd_call(plan: GridKernelPlan, x, gy):
     b = x.shape[0]
     nt = plan.batch_tile
-    grid = b // nt
+    consts = _plan_constants(plan)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, plan=plan),
-        grid=(grid,),
+        grid=(b // nt,),
         in_specs=[
             pl.BlockSpec((nt, x.shape[1]), lambda g: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (nt, plan.out_width), lambda g: (g, 0), memory_space=pltpu.VMEM
             ),
-        ],
+        ]
+        + _const_specs(consts),
         out_specs=pl.BlockSpec(
-            (plan.n_levels, plan.f, plan.h_max, LANE),
-            lambda g: (0, 0, 0, 0),
+            (plan.h_total, LANE * plan.f),
+            lambda g: (0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (plan.n_levels, plan.f, plan.h_max, LANE), jnp.float32
+            (plan.h_total, LANE * plan.f), jnp.float32
         ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-    )(x, gy)
+        compiler_params=_VMEM_LIMIT,
+    )(x, gy, *_const_args(consts))
+
+
+def _fmajor_perm(plan):
+    """Column permutations between the kernel's f-major order (f*L + l) and
+    the public l-major/f-minor order (l*F + f)."""
+    L, F = plan.n_levels, plan.f
+    to_public = np.asarray(
+        [f * L + l for l in range(L) for f in range(F)], np.int32
+    )
+    to_fmajor = np.asarray(
+        [l * F + f for f in range(F) for l in range(L)], np.int32
+    )
+    return to_public, to_fmajor
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _grid_pallas(plan, n_params, params, x):
     table_packed = repack_table(plan, params)
-    return _fwd_call(plan, table_packed, x)
+    to_public, _ = _fmajor_perm(plan)
+    return _fwd_call(plan, table_packed, x)[:, to_public]
 
 
 def _grid_pallas_fwd(plan, n_params, params, x):
-    table_packed = repack_table(plan, params)
-    return _fwd_call(plan, table_packed, x), x
+    return _grid_pallas(plan, n_params, params, x), x
 
 
 def _grid_pallas_bwd(plan, n_params, x, gy):
-    gpacked = _bwd_call(plan, x, gy)
+    _, to_fmajor = _fmajor_perm(plan)
+    gpacked = _bwd_call(plan, x, gy[:, to_fmajor])
     gparams = unpack_table_grads(plan, gpacked, n_params)
     # dL/dx intentionally zero: the Pallas path is only selected when input
     # gradients are not required (see GridEncoding.apply / docstring above).

@@ -39,6 +39,7 @@ from .optimizers.adam import AdamOptimizer
 from .optimizers.composite import CompositeOptimizer
 from .optimizers.novograd import NovogradOptimizer
 from .optimizers.sgd import SGDOptimizer
+from .optimizers.shampoo import ShampooOptimizer
 from .optimizers.wrappers import (
     AverageOptimizer,
     BatchedOptimizer,
@@ -395,6 +396,25 @@ register_optimizer(
         optimize_matrix_params=bool(cfg_get(c, "optimize_matrix_params", True)),
         optimize_non_matrix_params=bool(
             cfg_get(c, "optimize_non_matrix_params", True)
+        ),
+    ),
+)
+register_optimizer(
+    "Shampoo",
+    lambda c: ShampooOptimizer(
+        learning_rate=float(cfg_get(c, "learning_rate", 1e-3)),
+        beta1=float(cfg_get(c, "beta1", 0.9)),
+        beta2=float(cfg_get(c, "beta2", 0.99)),
+        beta3=float(cfg_get(c, "beta3", 0.9)),
+        beta_shampoo=float(cfg_get(c, "beta_shampoo", 0.9)),
+        epsilon=float(cfg_get(c, "epsilon", 1e-8)),
+        identity=float(cfg_get(c, "identity", 0.01)),
+        l2_reg=float(cfg_get(c, "l2_reg", 1e-5)),
+        relative_decay=float(cfg_get(c, "relative_decay", 0.0)),
+        absolute_decay=float(cfg_get(c, "absolute_decay", 0.0)),
+        cg_on_momentum=bool(cfg_get(c, "cg_on_momentum", True)),
+        frobenius_normalization=bool(
+            cfg_get(c, "frobenius_normalization", True)
         ),
     ),
 )

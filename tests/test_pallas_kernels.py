@@ -1,0 +1,126 @@
+"""Pallas kernel parity tests (interpret mode on CPU).
+
+The TPU kernels (ops/pallas/) are validated against the XLA oracle paths:
+same forward values within bf16 tolerance, same table gradients. This is
+the CI stand-in for the on-TPU runs (the kernels compile for Mosaic only on
+real hardware; interpret mode executes the same program).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from tcnn_tpu.common import GridType, InterpolationType
+from tcnn_tpu.models.mlp import FullyFusedMLP
+from tcnn_tpu.ops.encodings.grid import GridEncoding
+from tcnn_tpu.ops.pallas import grid_kernel as gk
+from tcnn_tpu.ops.pallas import mlp_kernel as mk
+
+
+CASES = [
+    (GridType.Hash, InterpolationType.Linear, 2, 2),
+    (GridType.Hash, InterpolationType.Smoothstep, 3, 4),
+    (GridType.Dense, InterpolationType.Linear, 2, 1),
+    (GridType.Tiled, InterpolationType.Nearest, 3, 2),
+    (GridType.Hash, InterpolationType.Linear, 4, 2),
+]
+
+
+@pytest.mark.parametrize("gt,interp,d,f", CASES)
+def test_grid_kernel_parity(gt, interp, d, f):
+    enc = GridEncoding(
+        d,
+        n_levels=5,
+        n_features_per_level=f,
+        log2_hashmap_size=10,
+        base_resolution=4,
+        per_level_scale=1.6,
+        grid_type=gt,
+        interpolation=interp,
+    )
+    plan = dataclasses.replace(gk.plan_for(enc), batch_tile=256)
+    assert plan is not None
+    rng = np.random.default_rng(0)
+    params = jnp.asarray(rng.uniform(-1, 1, enc.n_params), jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 1, (512, d)), jnp.float32)
+
+    ref = np.asarray(enc._apply_xla(params, x, compute_dtype=jnp.float32))
+    coefs = jnp.asarray(rng.normal(size=plan.out_width), jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        y = gk.grid_encode_pallas(plan, params, x)
+
+        def loss_pallas(p):
+            yy = gk.grid_encode_pallas(plan, p, x)
+            return jnp.sum(yy.astype(jnp.float32) * coefs)
+
+        gp = np.asarray(jax.grad(loss_pallas)(params))
+
+    np.testing.assert_allclose(np.asarray(y, np.float32), ref, atol=2e-2)
+
+    def loss_xla(p):
+        yy = enc._apply_xla(p, x, compute_dtype=jnp.float32)
+        return jnp.sum(yy * coefs)
+
+    gx = np.asarray(jax.grad(loss_xla)(params))
+    scale = max(np.abs(gx).max(), 1e-9)
+    np.testing.assert_allclose(gp / scale, gx / scale, atol=2e-2)
+
+
+def test_grid_kernel_unsupported_configs():
+    from tcnn_tpu.common import HashType
+
+    enc = GridEncoding(2, n_levels=2, stochastic_interpolation=True)
+    assert gk.plan_for(enc) is None
+    enc2 = GridEncoding(2, n_levels=2)
+    enc2.hash_type = HashType.Rng
+    assert gk.plan_for(enc2) is None
+
+
+def test_fused_mlp_parity():
+    mlp = FullyFusedMLP(32, 3, n_neurons=64, n_hidden_layers=2)
+    rng = np.random.default_rng(1)
+    params = jnp.asarray(mlp.init_params(jax.random.PRNGKey(0)))
+    x = jnp.asarray(rng.normal(size=(256, 32)), jnp.float32)
+
+    ref = np.asarray(
+        mlp.apply(params, x.astype(jnp.bfloat16)), np.float32
+    )
+    with pltpu.force_tpu_interpret_mode():
+        y = mk.fused_mlp_apply(mlp, params, x)
+        y = np.asarray(y, np.float32)
+    np.testing.assert_allclose(y, ref, atol=0.15, rtol=0.1)
+
+
+def test_fused_mlp_grads_parity():
+    mlp = FullyFusedMLP(16, 4, n_neurons=32, n_hidden_layers=2)
+    rng = np.random.default_rng(2)
+    params = jnp.asarray(mlp.init_params(jax.random.PRNGKey(3)))
+    x = jnp.asarray(rng.normal(size=(128, 16)), jnp.float32)
+
+    def loss_ref(p, xx):
+        return jnp.sum(mlp.apply(p, xx.astype(jnp.bfloat16)).astype(jnp.float32) ** 2)
+
+    gr_p, gr_x = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+
+    with pltpu.force_tpu_interpret_mode():
+
+        def loss_k(p, xx):
+            return jnp.sum(
+                mk.fused_mlp_apply(mlp, p, xx).astype(jnp.float32) ** 2
+            )
+
+        gk_p, gk_x = jax.grad(loss_k, argnums=(0, 1))(params, x)
+
+    sp = max(float(jnp.abs(gr_p).max()), 1e-9)
+    np.testing.assert_allclose(
+        np.asarray(gk_p) / sp, np.asarray(gr_p) / sp, atol=5e-2
+    )
+    sx = max(float(jnp.abs(gr_x).max()), 1e-9)
+    np.testing.assert_allclose(
+        np.asarray(gk_x) / sx, np.asarray(gr_x) / sx, atol=5e-2
+    )
