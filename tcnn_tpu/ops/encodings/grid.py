@@ -61,9 +61,7 @@ def _hash_factors(hash_type: HashType, n_dims: int):
     elif hash_type == HashType.ReversedPrime:
         f = tuple(reversed(_PRIMES))
     else:
-        raise NotImplementedError(
-            "HashType.Rng requires 64-bit PCG32 advance; not yet implemented"
-        )
+        raise ValueError("HashType.Rng has no LCG factors (uses rng_hash)")
     return np.asarray(f[:n_dims], dtype=np.uint32)
 
 
@@ -205,10 +203,16 @@ class GridEncoding(Encoding):
             stride = jnp.where(alive, stride * res, stride)  # uint32 wrap
 
         if self.grid_type == GridType.Hash:
-            factors = jnp.asarray(_hash_factors(self.hash_type, d))
-            hashed = jnp.zeros_like(index)
-            for dim in range(d):
-                hashed = hashed ^ (cells_u32[..., dim] * factors[dim])
+            if self.hash_type == HashType.Rng:
+                # PCG32-advance hash (common_device.h:663-677), bit-exact
+                from ..pcg32 import rng_hash
+
+                hashed = rng_hash(cells_u32, d)
+            else:
+                factors = jnp.asarray(_hash_factors(self.hash_type, d))
+                hashed = jnp.zeros_like(index)
+                for dim in range(d):
+                    hashed = hashed ^ (cells_u32[..., dim] * factors[dim])
             use_hash = sizes_b < stride
             index = jnp.where(use_hash, hashed, index)
 
