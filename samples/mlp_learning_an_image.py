@@ -39,14 +39,15 @@ REFERENCE_IMAGE = "/root/reference/data/images/albert.jpg"
 
 
 def main(argv):
-    image_path = argv[1] if len(argv) > 1 else None
+    args = [a for a in argv[1:] if not a.startswith("--")]
+    image_path = args[0] if len(args) > 0 else None
     config_path = (
-        argv[2]
-        if len(argv) > 2
+        args[1]
+        if len(args) > 1
         else os.path.join(os.path.dirname(__file__), "..", "data", "config_hash.json")
     )
-    n_steps = int(argv[3]) if len(argv) > 3 else 10_000
-    out_path = argv[4] if len(argv) > 4 else "out.jpg"
+    n_steps = int(args[2]) if len(args) > 2 else 10_000
+    out_path = args[3] if len(args) > 3 else "out.jpg"
 
     if image_path:
         image = load_image(image_path)
@@ -64,10 +65,27 @@ def main(argv):
     image_d = jnp.asarray(image)
     batch_size = 1 << 18
 
-    @jax.jit
-    def make_batch(key):
-        xy = jax.random.uniform(key, (batch_size, 2))
-        return xy, sample_image(image_d, xy)
+    # Batch pipeline: on-device (jnp) by default; --native-pipeline switches
+    # to the C++ host runtime (native/tcnn_host.cpp), which reproduces the
+    # reference demo's EXACT deterministic PCG32 coordinate stream
+    # (default_rng_t rng{1337}, mlp_learning_an_image.cu:222-266).
+    use_native = "--native-pipeline" in argv
+    if use_native:
+        from tcnn_tpu.native import HostRng
+
+        host_rng = HostRng(1337)
+        image_np = np.ascontiguousarray(image, np.float32)
+
+        def make_batch(key):
+            xy, rgb = host_rng.image_batch(image_np, batch_size)
+            return jnp.asarray(xy), jnp.asarray(rgb)
+
+    else:
+
+        @jax.jit
+        def make_batch(key):
+            xy = jax.random.uniform(key, (batch_size, 2))
+            return xy, sample_image(image_d, xy)
 
     key = jax.random.PRNGKey(1337)
     eval_xy = jnp.asarray(pixel_center_coords(h, w))
