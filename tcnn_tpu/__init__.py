@@ -39,3 +39,15 @@ from .registry import (  # noqa: F401
 from .trainer import Trainer  # noqa: F401
 
 batch_size_granularity = BATCH_SIZE_GRANULARITY  # cpp_api parity name
+
+from .log import (  # noqa: F401
+    LogSeverity,
+    log,
+    log_debug,
+    log_error,
+    log_info,
+    log_success,
+    log_warning,
+    set_log_callback,
+    set_verbose,
+)

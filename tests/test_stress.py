@@ -1,0 +1,92 @@
+"""Stress / API-contract tests.
+
+Analogs of the reference's script-level tests:
+  - scripts/test_random_input.py: many randomly-sized batches through a
+    width-128 FFMLP module (regression test for allocator/shape-handling
+    bugs; here it exercises the padding/trimming and jit cache).
+  - scripts/test_toch_bindings.py: API-contract checks at the module
+    boundary (shape validation, error quality).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tcnn_tpu as tc
+
+
+def test_random_batch_sizes():
+    net = tc.NetworkWithInputEncoding(
+        2,
+        3,
+        {"otype": "OneBlob", "n_bins": 8},
+        {"otype": "FullyFusedMLP", "n_neurons": 128, "n_hidden_layers": 2},
+    )
+    rng = np.random.default_rng(0)
+    # buckets repeat so the jit cache is hit; include 1 and granularity edges
+    sizes = list(rng.integers(1, 2048, 40)) + [1, 255, 256, 257, 1024]
+    for b in sizes:
+        x = jnp.asarray(rng.uniform(size=(int(b), 2)), jnp.float32)
+        y = net(x)
+        assert y.shape == (int(b), 3)
+        assert np.isfinite(np.asarray(y)).all()
+
+
+def test_batch_size_one_and_odd_through_trainer():
+    cfg = {
+        "loss": {"otype": "L2"},
+        "optimizer": {"otype": "SGD", "learning_rate": 1e-2},
+        "encoding": {"otype": "Identity"},
+        "network": {"otype": "CutlassMLP", "n_neurons": 16, "n_hidden_layers": 1},
+    }
+    m = tc.create_from_config(2, 1, cfg)
+    for b in (1, 3, 7):
+        x = jnp.ones((b, 2)) * 0.5
+        t = jnp.ones((b, 1))
+        lv = m.trainer.training_step(x, t)
+        assert np.isfinite(float(lv))
+
+
+def test_wrong_input_width_raises():
+    net = tc.Network(16, 3, {"otype": "CutlassMLP", "n_neurons": 16})
+    with pytest.raises(Exception):
+        jax.block_until_ready(net(jnp.zeros((4, 9))))
+
+
+def test_unknown_otype_errors_are_clean():
+    with pytest.raises(ValueError, match="not found"):
+        tc.create_encoding(2, {"otype": "NoSuchEncoding"})
+    with pytest.raises(ValueError):
+        tc.create_loss({"otype": "NoSuchLoss"})
+    with pytest.raises(ValueError):
+        tc.create_optimizer({"otype": "NoSuchOpt"})
+
+
+def test_ffmlp_width_error_names_cutlass():
+    with pytest.raises(ValueError, match="CutlassMLP"):
+        tc.create_network(
+            32, 3, {"otype": "FullyFusedMLP", "n_neurons": 48}
+        )
+
+
+def test_out_of_domain_grid_inputs_stay_finite():
+    enc = tc.Encoding(2, {"otype": "HashGrid", "n_levels": 4,
+                          "log2_hashmap_size": 10})
+    x = jnp.asarray([[-0.5, 1.7], [2.0, -3.0], [0.5, 0.5]], jnp.float32)
+    y = enc(x)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_logging_callback_and_severities():
+    events = []
+    tc.set_log_callback(lambda sev, msg: events.append((sev, msg)))
+    try:
+        tc.log_warning("hello")
+        tc.log_debug("quiet")
+    finally:
+        tc.set_log_callback(None)
+    assert events == [
+        (tc.LogSeverity.Warning, "hello"),
+        (tc.LogSeverity.Debug, "quiet"),
+    ]
