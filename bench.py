@@ -27,7 +27,12 @@ import jax.numpy as jnp
 import numpy as np
 
 import tcnn_tpu as tc
-from tcnn_tpu.utils.image import load_image, sample_image, synthetic_image
+from tcnn_tpu.utils.image import (
+    build_quad_table,
+    load_image,
+    sample_image_quad,
+    synthetic_image,
+)
 
 BASELINE_SAMPLES_PER_SEC = 1000.0 * (1 << 18)  # RTX 4090, README.md:75
 REFERENCE_IMAGE = "/root/reference/data/images/albert.jpg"
@@ -48,16 +53,18 @@ def main():
     model = tc.create_from_config(2, 3, config)
     trainer = model.trainer
 
-    image_d = jnp.asarray(image)
+    h, w = image.shape[:2]
+    quad = jax.jit(build_quad_table)(jnp.asarray(image))
 
-    def bench_step(state, key):
+    def bench_step(state, quad, key):
         key, k = jax.random.split(key)
         xy = jax.random.uniform(k, (BATCH_SIZE, 2))
-        rgb = sample_image(image_d, xy)
+        rgb = sample_image_quad(quad, h, w, xy)
         state, loss = trainer.train_step_fn(state, xy, rgb)
         return state, key, loss
 
-    step = jax.jit(bench_step, donate_argnums=(0,))
+    _step = jax.jit(bench_step, donate_argnums=(0,))
+    step = lambda state, key: _step(state, quad, key)
 
     state = trainer.state
     key = jax.random.PRNGKey(1337)

@@ -72,6 +72,47 @@ def sample_image(image, xy):
     return top * (1 - ty) + bot * ty
 
 
+def build_quad_table(image):
+    """[H, W, C] -> [H*W, 4*C] where row (y*W + x) holds the 4 edge-clamped
+    bilinear corner pixels (x,y), (x+1,y), (x,y+1), (x+1,y+1).
+
+    One random gather per sample instead of four: XLA's TPU gather cost is
+    per-index (measured ~0.2 G rows/s on v5e), so fetching all corners in a
+    single 4C-wide row is ~4x faster. 4x memory (HBM is plentiful)."""
+    image = jnp.asarray(image)
+    right = jnp.concatenate([image[:, 1:], image[:, -1:]], axis=1)
+    down = jnp.concatenate([image[1:], image[-1:]], axis=0)
+    downright = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+    q = jnp.concatenate([image, right, down, downright], axis=-1)
+    return q.reshape(-1, 4 * image.shape[-1])
+
+
+def sample_image_quad(quad, height: int, width: int, xy):
+    """Bilinear sampling through a `build_quad_table` table; identical
+    results to `sample_image` (including edge clamping) with 1 gather."""
+    h, w = height, width
+    c = quad.shape[-1] // 4
+    fx = xy[:, 0] * w - 0.5
+    fy = xy[:, 1] * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = (fx - x0)[:, None]
+    ty = (fy - y0)[:, None]
+    # left/top out-of-range: the reference clamps BOTH corners to the edge
+    # pixel; with the quad row at (0, .) the right neighbor is pixel 1, so
+    # zero the weight instead - same result.
+    tx = jnp.where(x0[:, None] < 0, 0.0, tx)
+    ty = jnp.where(y0[:, None] < 0, 0.0, ty)
+    x0 = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    rows = quad[y0 * w + x0]  # [B, 4C]
+    c00, c01 = rows[:, :c], rows[:, c : 2 * c]
+    c10, c11 = rows[:, 2 * c : 3 * c], rows[:, 3 * c :]
+    top = c00 * (1 - tx) + c01 * tx
+    bot = c10 * (1 - tx) + c11 * tx
+    return top * (1 - ty) + bot * ty
+
+
 def pixel_center_coords(height: int, width: int) -> np.ndarray:
     """[(H*W), 2] normalized (x, y) at pixel centers - the evaluation lattice
     of the reference demo (mlp_learning_an_image.cu:176-189)."""

@@ -254,3 +254,22 @@ def test_input_gradients_match_finite_differences(enc_factory):
             ) / (2 * eps)
             # triangle wave is only piecewise smooth; tolerate kinks
             np.testing.assert_allclose(g[i, j], fd, rtol=2e-2, atol=2e-2)
+
+
+def test_quad_sampling_matches_reference_bilinear():
+    """build_quad_table + sample_image_quad == sample_image exactly,
+    including out-of-range (edge-clamped) coordinates."""
+    from tcnn_tpu.utils.image import (
+        build_quad_table,
+        sample_image,
+        sample_image_quad,
+        synthetic_image,
+    )
+
+    img = synthetic_image(37, 53)
+    quad = build_quad_table(img)
+    rng = np.random.default_rng(0)
+    xy = jnp.asarray(rng.uniform(-0.1, 1.1, (500, 2)), jnp.float32)
+    got = sample_image_quad(quad, 37, 53, xy)
+    ref = sample_image(img, xy)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
