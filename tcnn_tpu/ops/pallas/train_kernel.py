@@ -1,0 +1,317 @@
+"""Fully-fused training-step Pallas kernel: grid -> MLP -> loss -> backward.
+
+The reference's claim to fame is fusing the MLP into one kernel
+(src/fully_fused_mlp.cu); its training step still runs ~6 kernels per step
+(grid fwd, MLP fwd, loss, MLP bwd dgrad, per-layer wgrad GEMMs, grid
+scatter; trainer.h:163-190). On TPU we can go further: this kernel executes
+the ENTIRE model forward + loss + backward for a batch tile in one Pallas
+program -
+
+    grid gather (one-hot MXU matmuls, tables VMEM-resident)
+    -> fused MLP forward (weights VMEM-resident)
+    -> elementwise loss value + gradient (the tcnn loss family)
+    -> fused MLP backward (dgrad chain + wgrad accumulation)
+    -> grid scatter (one-hot^T MXU matmuls into a VMEM-resident
+       gradient table)
+
+with the expensive per-sample index math and the per-level one-hot
+matrices computed ONCE and shared between the gather and the scatter
+(the separate-kernel formulation recomputes all of it in the backward),
+and no HBM round-trips for the encoding output, activations, or loss
+gradients. The corner interpolation weights are folded into the lane
+one-hots (ohlo_w), so the weighted gather-pick and the weighted scatter
+share the same cached masks.
+
+Outputs: per-tile loss-value partial sums, the MLP weight gradients and the
+packed grid-table gradients, both accumulated across batch tiles in VMEM -
+deterministic, unlike the reference's atomicAdd scatter.
+
+Used by the Trainer when the model is grid + FullyFusedMLP with a
+supported loss and no perturbation/pdf/external-gradient features; the
+composed per-op path remains the general fallback (identical math).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...common import Activation
+from ..activations import activation_bwd_out, activation_fn
+from . import grid_kernel as gk
+
+LANE = 128
+
+
+def supported(model, loss, perturbation_sigma: float) -> bool:
+    """Whether the fused train kernel covers this (model, loss) config."""
+    from ...models.mlp import FullyFusedMLP
+    from ...models.network_with_input_encoding import NetworkWithInputEncoding
+    from ...ops.encodings.grid import GridEncoding
+    from ...ops.losses import Loss
+
+    if perturbation_sigma != 0.0:
+        return False
+    if not isinstance(model, NetworkWithInputEncoding):
+        return False
+    if not isinstance(model.encoding, GridEncoding):
+        return False
+    if model.encoding.max_level is not None:
+        return False
+    mlp = model.network
+    if not isinstance(mlp, FullyFusedMLP):
+        return False
+    if Activation.Sine in (mlp.activation, mlp.output_activation):
+        return False
+    if not isinstance(loss, Loss):
+        return False
+    return model.encoding._kernel_plan() is not None
+
+
+def _kernel(
+    x_ref,
+    t_ref,
+    table_ref,
+    *rest,
+    plan,
+    mlp,
+    loss,
+    loss_scale,
+    n_weights,
+    enc_pad,
+    n_valid,
+):
+    n_w = n_weights
+    const_refs = rest[:len(gk._CONST_NAMES)]
+    w_refs = rest[len(gk._CONST_NAMES) : len(gk._CONST_NAMES) + n_w]
+    out_refs = rest[len(gk._CONST_NAMES) + n_w :]
+    gtable_ref = out_refs[0]
+    gw_refs = out_refs[1 : 1 + n_w]
+    loss_ref = out_refs[1 + n_w]
+
+    cr = {name: ref[:] for name, ref in zip(gk._CONST_NAMES, const_refs)}
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        gtable_ref[:] = jnp.zeros_like(gtable_ref)
+        for gw in gw_refs:
+            gw[:] = jnp.zeros_like(gw)
+        loss_ref[0, 0] = jnp.float32(0.0)
+
+    x = x_ref[:]
+    nt = x.shape[0]
+    F, C, L = plan.f, plan.n_corners, plan.n_levels
+
+    # ---- shared index math (once for gather AND scatter) -------------------
+    cells, w = gk._positions(plan, x, cr)
+    hi, lo, cw = gk._stacked_hi_lo_w(plan, cells, w, cr)
+
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (C * nt, LANE), 1)
+
+    # ---- grid gather (forward) ---------------------------------------------
+    ohs = []
+    ohlo_ws = []
+    cols = []
+    for l, level in enumerate(plan.levels):
+        oh = (
+            hi[:, l : l + 1]
+            == jax.lax.broadcasted_iota(jnp.int32, (C * nt, level.h), 1)
+        ).astype(jnp.bfloat16)
+        ohs.append(oh)
+        ohlo = (lo[:, l : l + 1] == lane_iota).astype(jnp.float32)
+        # fold the corner interpolation weight into the lane mask: both the
+        # weighted pick (fwd) and the weighted scatter (bwd) use cw * ohlo
+        ohlo_w = ohlo * cw[:, l : l + 1] if cw is not None else ohlo
+        ohlo_ws.append(ohlo_w)
+        tbl = table_ref[level.row_off : level.row_off + level.h, :]
+        g = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)
+        for f in range(F):
+            cols.append(
+                jnp.sum(
+                    g[:, f * LANE : (f + 1) * LANE] * ohlo_w,
+                    axis=1,
+                    keepdims=True,
+                )
+            )
+
+    picked = jnp.concatenate(cols, axis=1)  # [C*Nt, L*F] l-major f-minor
+    enc = picked.reshape(C, nt, L * F).sum(axis=0)  # [Nt, L*F] f32
+    if enc_pad:
+        enc = jnp.concatenate(
+            [enc, jnp.zeros((nt, enc_pad), enc.dtype)], axis=1
+        )
+
+    # ---- fused MLP forward --------------------------------------------------
+    h = enc.astype(jnp.bfloat16)
+    hs = [h]
+    for i in range(n_w):
+        z = jnp.dot(h, w_refs[i][:], preferred_element_type=jnp.float32)
+        act = mlp.output_activation if i == n_w - 1 else mlp.activation
+        h = activation_fn(z, act).astype(jnp.bfloat16)
+        hs.append(h)
+
+    # ---- loss value + gradient (tcnn-exact elementwise family) -------------
+    pred = hs[-1].astype(jnp.float32)  # [Nt, out_pad]
+    targets = t_ref[:].astype(jnp.float32)
+    pdf = jnp.ones_like(targets)
+    values, grad = loss.value_and_grad_fn(pred, targets, pdf)
+    # mask rows beyond the true batch (batch padded to the tile size);
+    # normalization to the true batch happens in the wrapper
+    row = jax.lax.broadcasted_iota(jnp.int32, (nt, 1), 0)
+    valid = (row + pl.program_id(0) * nt < n_valid).astype(jnp.float32)
+    values = values * valid
+    grad = grad * valid
+    loss_ref[0, 0] = loss_ref[0, 0] + jnp.sum(values)
+
+    # ---- fused MLP backward -------------------------------------------------
+    # the MLP matmuls are tiny next to the grid's (64-wide vs table-sized),
+    # so the backward runs in f32 - same cotangent precision as the XLA
+    # autodiff path (the standalone mlp_kernel uses bf16 cotangents like the
+    # reference's __half; here f32 is free)
+    g = grad * loss_scale  # [Nt, out_pad] f32
+    for i in reversed(range(n_w)):
+        act = mlp.output_activation if i == n_w - 1 else mlp.activation
+        g = activation_bwd_out(g, hs[i + 1].astype(jnp.float32), act)
+        gw_refs[i][:] = gw_refs[i][:] + jax.lax.dot_general(
+            hs[i].astype(jnp.float32),
+            g,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        g = jax.lax.dot_general(
+            g,
+            w_refs[i][:].astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    genc = g[:, : L * F]  # [Nt, L*F] f32 (drop the zero-pad columns)
+    gy_c = jnp.concatenate([genc] * C, axis=0)  # [C*Nt, L*F]
+
+    # ---- grid scatter (reusing oh / ohlo_w) ---------------------------------
+    for l, level in enumerate(plan.levels):
+        rhs = jnp.concatenate(
+            [
+                ohlo_ws[l] * gy_c[:, l * F + f : l * F + f + 1]
+                for f in range(F)
+            ],
+            axis=1,
+        ).astype(jnp.bfloat16)
+        contrib = jax.lax.dot_general(
+            ohs[l],
+            rhs,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        sl = slice(level.row_off, level.row_off + level.h)
+        gtable_ref[sl, :] = gtable_ref[sl, :] + contrib
+
+
+def fused_train_grads(model, loss, params, x, targets, loss_scale):
+    """(loss_value_sum, grads_flat) for a NetworkWithInputEncoding(grid,
+    FullyFusedMLP) model - one Pallas kernel per batch tile."""
+    plan = model.encoding._kernel_plan()
+    mlp = model.network
+    enc = model.encoding
+    n_net = mlp.n_params
+    enc_pad = enc.padded_output_width - plan.out_width
+
+    net_p, enc_p = params[:n_net], params[n_net:]
+    table_packed = gk.repack_table(plan, enc_p)
+    # transposed bf16 weights [fan_in, fan_out] (mlp_kernel convention)
+    wts = []
+    off = 0
+    for r, c in mlp.layer_sizes():
+        wts.append(net_p[off : off + r * c].reshape(r, c).T.astype(jnp.bfloat16))
+        off += r * c
+    n_w = len(wts)
+
+    b = x.shape[0]
+    # the fused kernel keeps per-level oh/ohlo_w masks alive between the
+    # gather and the scatter: halve the tile vs the standalone grid kernels
+    # to fit VMEM (measured: tile 1024 needs ~126 MB on config_hash)
+    nt = max(plan.batch_tile // 2, 128)
+    padded = -(-b // nt) * nt
+    out_dims = targets.shape[1]
+    if padded != b:
+        x = jnp.pad(x, ((0, padded - b), (0, 0)))
+        targets = jnp.pad(targets, ((0, padded - b), (0, 0)))
+
+    consts = gk._plan_constants(plan)
+    grid_steps = padded // nt
+
+    kern = functools.partial(
+        _kernel,
+        plan=plan,
+        mlp=mlp,
+        loss=loss,
+        loss_scale=loss_scale,
+        n_weights=n_w,
+        enc_pad=enc_pad,
+        n_valid=b,
+    )
+
+    in_specs = (
+        [
+            pl.BlockSpec((nt, x.shape[1]), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nt, out_dims), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (plan.h_total, LANE * plan.f),
+                lambda g: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + gk._const_specs(consts)
+        + [
+            pl.BlockSpec(w.shape, lambda g: (0, 0), memory_space=pltpu.VMEM)
+            for w in wts
+        ]
+    )
+    out_specs = (
+        [
+            pl.BlockSpec(
+                (plan.h_total, LANE * plan.f),
+                lambda g: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        + [
+            pl.BlockSpec(w.shape, lambda g: (0, 0), memory_space=pltpu.VMEM)
+            for w in wts
+        ]
+        + [pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)]
+    )
+    out_shape = (
+        [jax.ShapeDtypeStruct((plan.h_total, LANE * plan.f), jnp.float32)]
+        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wts]
+        + [jax.ShapeDtypeStruct((1, 1), jnp.float32)]
+    )
+
+    outs = pl.pallas_call(
+        kern,
+        grid=(grid_steps,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=gk._VMEM_LIMIT,
+    )(x, targets, table_packed, *gk._const_args(consts), *wts)
+
+    gtable = outs[0]
+    gwts = outs[1 : 1 + n_w]
+    loss_sum = outs[1 + n_w][0, 0]
+
+    # the elementwise loss family normalizes by n_total = batch*dims using
+    # the PER-TILE batch (nt); rescale everything to the true global batch
+    # (padded rows were masked to zero in-kernel)
+    scale = nt / b
+    total = loss_sum * scale
+
+    genc = gk.unpack_table_grads(plan, gtable, int(enc_p.shape[0]))
+    gnet = jnp.concatenate([g.T.reshape(-1) for g in gwts])
+    grads = jnp.concatenate([gnet, genc]).astype(jnp.float32) * scale
+    return total, grads

@@ -71,9 +71,41 @@ class Trainer:
     # ------------------------------------------------------------------
     # Functional core (pure; safe to wrap in shard_map / pjit)
     # ------------------------------------------------------------------
+    #: None = auto (fused Pallas train kernel on TPU when the model/loss
+    #: combination supports it); True/False force.
+    use_fused_train_kernel: bool | None = None
+
+    def _fused_kernel_ok(self, pdf) -> bool:
+        if self.use_fused_train_kernel is False or pdf is not None:
+            return False
+        if self.perturbation_sigma != 0.0:
+            return False
+        try:
+            import jax as _jax
+
+            if (
+                self.use_fused_train_kernel is None
+                and _jax.default_backend() != "tpu"
+            ):
+                return False
+            from .ops.pallas.train_kernel import supported
+
+            return supported(self.model, self.loss_fn, self.perturbation_sigma)
+        except Exception:
+            return False
+
     def loss_and_grad_fn(self, params, inputs, targets, pdf, rng):
         """Returns (loss_value, grads); grads carry loss_scale (reference
         convention; the optimizer divides it back out)."""
+        if self._fused_kernel_ok(pdf):
+            # single-kernel grid+MLP+loss+backward path (train_kernel.py)
+            from .ops.pallas.train_kernel import fused_train_grads
+
+            total, grads = fused_train_grads(
+                self.model, self.loss_fn, params, inputs, targets,
+                self.loss_scale,
+            )
+            return total, grads
 
         def f(p):
             out = self.model.apply(p, inputs, compute_dtype=self.compute_dtype)
