@@ -212,6 +212,105 @@ def _kernel(
         gtable_ref[sl, :] = gtable_ref[sl, :] + contrib
 
 
+def _infer_kernel(x_ref, table_ref, *rest, plan, mlp, n_weights, enc_pad):
+    const_refs = rest[: len(gk._CONST_NAMES)]
+    w_refs = rest[len(gk._CONST_NAMES) : len(gk._CONST_NAMES) + n_weights]
+    y_ref = rest[len(gk._CONST_NAMES) + n_weights]
+    cr = {name: ref[:] for name, ref in zip(gk._CONST_NAMES, const_refs)}
+
+    x = x_ref[:]
+    nt = x.shape[0]
+    F, C, L = plan.f, plan.n_corners, plan.n_levels
+
+    cells, w = gk._positions(plan, x, cr)
+    hi, lo, cw = gk._stacked_hi_lo_w(plan, cells, w, cr)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (C * nt, LANE), 1)
+
+    cols = []
+    for l, level in enumerate(plan.levels):
+        oh = (
+            hi[:, l : l + 1]
+            == jax.lax.broadcasted_iota(jnp.int32, (C * nt, level.h), 1)
+        ).astype(jnp.bfloat16)
+        ohlo = (lo[:, l : l + 1] == lane_iota).astype(jnp.float32)
+        ohlo_w = ohlo * cw[:, l : l + 1] if cw is not None else ohlo
+        tbl = table_ref[level.row_off : level.row_off + level.h, :]
+        g = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)
+        for f in range(F):
+            cols.append(
+                jnp.sum(
+                    g[:, f * LANE : (f + 1) * LANE] * ohlo_w,
+                    axis=1,
+                    keepdims=True,
+                )
+            )
+    enc = jnp.concatenate(cols, axis=1).reshape(C, nt, L * F).sum(axis=0)
+    if enc_pad:
+        enc = jnp.concatenate(
+            [enc, jnp.zeros((nt, enc_pad), enc.dtype)], axis=1
+        )
+
+    h = enc.astype(jnp.bfloat16)
+    for i in range(n_weights):
+        z = jnp.dot(h, w_refs[i][:], preferred_element_type=jnp.float32)
+        act = mlp.output_activation if i == n_weights - 1 else mlp.activation
+        h = activation_fn(z, act).astype(jnp.bfloat16)
+    y_ref[:] = h.astype(y_ref.dtype)
+
+
+def fused_forward(model, params, x):
+    """Inference-only fused grid+MLP forward: [B, D] -> [B, out_pad] bf16.
+    Not differentiable (use the composed path or fused_train_grads for
+    gradients)."""
+    plan = model.encoding._kernel_plan()
+    mlp = model.network
+    enc = model.encoding
+    n_net = mlp.n_params
+    enc_pad = enc.padded_output_width - plan.out_width
+    net_p, enc_p = params[:n_net], params[n_net:]
+    table_packed = gk.repack_table(plan, enc_p)
+    wts = []
+    off = 0
+    for r, c in mlp.layer_sizes():
+        wts.append(net_p[off : off + r * c].reshape(r, c).T.astype(jnp.bfloat16))
+        off += r * c
+
+    b = x.shape[0]
+    nt = plan.batch_tile
+    padded = -(-b // nt) * nt
+    if padded != b:
+        x = jnp.pad(x, ((0, padded - b), (0, 0)))
+    consts = gk._plan_constants(plan)
+    out_w = mlp.padded_output_width
+
+    y = pl.pallas_call(
+        functools.partial(
+            _infer_kernel, plan=plan, mlp=mlp, n_weights=len(wts),
+            enc_pad=enc_pad,
+        ),
+        grid=(padded // nt,),
+        in_specs=[
+            pl.BlockSpec((nt, x.shape[1]), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (plan.h_total, LANE * plan.f),
+                lambda g: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + gk._const_specs(consts)
+        + [
+            pl.BlockSpec(w.shape, lambda g: (0, 0), memory_space=pltpu.VMEM)
+            for w in wts
+        ],
+        out_specs=pl.BlockSpec(
+            (nt, out_w), lambda g: (g, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((padded, out_w), jnp.bfloat16),
+        compiler_params=gk._VMEM_LIMIT,
+    )(x, table_packed, *gk._const_args(consts), *wts)
+    return y[:b]
+
+
 def fused_train_grads(model, loss, params, x, targets, loss_scale):
     """(loss_value_sum, grads_flat) for a NetworkWithInputEncoding(grid,
     FullyFusedMLP) model - one Pallas kernel per batch tile."""

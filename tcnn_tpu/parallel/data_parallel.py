@@ -50,8 +50,8 @@ class DataParallelTrainer:
         replicated = NamedSharding(mesh, P())
         batch_sharded = NamedSharding(mesh, P(axis_name))
 
-        def step(state, inputs, targets, pdf):
-            def shard_fn(state, inputs, targets, pdf):
+        def make_step(with_pdf):
+            def shard_fn(state, inputs, targets, pdf=None):
                 # per-shard loss normalizes by the LOCAL batch; pmean restores
                 # the reference's global-batch 1/n_total semantics
                 rng = jax.random.fold_in(
@@ -72,15 +72,23 @@ class DataParallelTrainer:
                     loss_value,
                 )
 
-            return jax.shard_map(
-                shard_fn,
-                mesh=mesh,
-                in_specs=(P(), P(axis_name), P(axis_name), P(axis_name)),
-                out_specs=(P(), P()),
-                check_vma=False,
-            )(state, inputs, targets, pdf)
+            data_specs = (P(axis_name),) * (3 if with_pdf else 2)
 
-        self._step = jax.jit(step)
+            def step(state, *data):
+                return jax.shard_map(
+                    shard_fn,
+                    mesh=mesh,
+                    in_specs=(P(),) + data_specs,
+                    out_specs=(P(), P()),
+                    check_vma=False,
+                )(state, *data)
+
+            return jax.jit(step)
+
+        # pdf-less variant keeps pdf=None so the trainer can dispatch to the
+        # fused training kernel inside the shard_map
+        self._step = make_step(True)
+        self._step_nopdf = make_step(False)
         self._replicated = replicated
         self._batch_sharded = batch_sharded
         self._n_dev = n_dev
@@ -93,6 +101,7 @@ class DataParallelTrainer:
 
     def step(self, state, inputs, targets, pdf=None):
         if pdf is None:
-            pdf = jnp.ones_like(targets)
+            inputs, targets = self.shard_batch(inputs, targets)
+            return self._step_nopdf(state, inputs, targets)
         inputs, targets, pdf = self.shard_batch(inputs, targets, pdf)
         return self._step(state, inputs, targets, pdf)

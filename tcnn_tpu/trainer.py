@@ -225,7 +225,13 @@ class Trainer:
         return float(jnp.sum(ctx["loss_values"]))
 
     def inference(self, inputs):
-        """fp32 output trimmed to n_output_dims (object.h:147-179)."""
+        """fp32 output trimmed to n_output_dims (object.h:147-179).
+
+        Measured on v5e: the single-kernel grid+MLP forward
+        (train_kernel.fused_forward) is NOT faster than the composed
+        Pallas kernels here (26.3 vs 23.8 ms at batch 2^18) - fusion only
+        pays in training where the backward reuses the gather's one-hot
+        masks - so inference stays on the composed path."""
         params = self.inference_params
         fn = self._get_jitted(
             "inference",

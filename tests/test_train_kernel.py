@@ -127,3 +127,39 @@ def test_supported_gating():
         },
     )
     assert not supported(m2.network, m2.trainer.loss_fn, 0.0)  # not a grid
+
+
+def test_fused_forward_matches_composed():
+    m = _model()
+    tr = m.trainer
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(size=(700, 2)), jnp.float32)
+    ref = np.asarray(
+        m.network.apply(tr.state["params"], x).astype(jnp.float32)
+    )
+    from tcnn_tpu.ops.pallas.train_kernel import fused_forward
+
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            fused_forward(m.network, tr.state["params"], x), np.float32
+        )
+    np.testing.assert_allclose(got, ref, atol=3e-2)
+
+
+def test_data_parallel_uses_fused_path_shape():
+    """DP without pdf routes through the pdf-less step (which permits the
+    fused kernel on TPU); on CPU it still must produce correct results."""
+    from tcnn_tpu.parallel.data_parallel import DataParallelTrainer, create_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    m = _model(tile=128)
+    dp = DataParallelTrainer(m.trainer, create_mesh(jax.devices()[:4]))
+    state = dp.replicate(m.trainer.state)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(size=(512, 2)), jnp.float32)
+    t = jnp.asarray(rng.uniform(size=(512, 3)), jnp.float32)
+    state, l0 = dp.step(state, x, t)
+    for _ in range(10):
+        state, lv = dp.step(state, x, t)
+    assert float(lv) < float(l0)
