@@ -81,11 +81,19 @@ def main(argv):
             return jnp.asarray(xy), jnp.asarray(rgb)
 
     else:
+        from tcnn_tpu.utils.image import build_quad_table, sample_image_quad
 
+        quad = jax.jit(build_quad_table)(image_d)
+
+        # NOTE: quad must be an ARGUMENT - capturing it would ship 100s of
+        # MB as a compile-time constant
         @jax.jit
-        def make_batch(key):
+        def _make_batch(quad, key):
             xy = jax.random.uniform(key, (batch_size, 2))
-            return xy, sample_image(image_d, xy)
+            return xy, sample_image_quad(quad, h, w, xy)
+
+        def make_batch(key):
+            return _make_batch(quad, key)
 
     key = jax.random.PRNGKey(1337)
     eval_xy = jnp.asarray(pixel_center_coords(h, w))

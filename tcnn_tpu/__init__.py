@@ -13,6 +13,7 @@ __version__ = "0.1.0"
 from .common import (  # noqa: F401
     Activation,
     BATCH_SIZE_GRANULARITY,
+    GradientMode,
     GridType,
     HashType,
     InterpolationType,

@@ -180,16 +180,26 @@ class PPNG1Encoding(PPNGBase):
         B = x.shape[0]
         F, D, C = self.n_frequencies, self.n_dims_to_encode, self.n_features
         Q, R = self.n_quants, self.rank
-        tbl = params.reshape(F, 2, D, C, Q, R)
         p0, p1, w = self._quant_coords(x.astype(jnp.float32))  # [B,F,2,D]
 
-        # gather along Q: tbl[f,s,d,:,p,:] for p = p0/p1 -> [B,F,2,D,C,R]
-        fi = jnp.arange(F)[None, :, None, None]
-        si = jnp.arange(2)[None, None, :, None]
-        di = jnp.arange(D)[None, None, None, :]
-        f0 = tbl[fi, si, di, :, p0, :]  # [B,F,2,D,C,R]
-        f1 = tbl[fi, si, di, :, p1, :]
-        lerped = f0 + (f1 - f0) * w[..., None, None]
+        # MXU-native 1-D lerp: a 2-nonzero interpolation-weight vector over
+        # the Q axis turns the gather into a batched matmul (and its
+        # transpose into the table-gradient scatter under autodiff) - random
+        # gathers are the slowest primitive on TPU (see grid_kernel.py).
+        K = F * 2 * D
+        qi = jnp.arange(Q)[None, None]
+        p0f = p0.reshape(B, K, 1)
+        p1f = p1.reshape(B, K, 1)
+        wf = w.reshape(B, K, 1)
+        # (1-w) at p0 plus w at p1; p0 == p1 (w = 0) sums to 1 at p0: exact
+        wvec = (qi == p0f) * (1.0 - wf) + (qi == p1f) * wf  # [B, K, Q]
+        # params layout [F,2,D,C,Q,R] -> per-k [Q, C*R]
+        tblr = params.reshape(K, C, Q, R).transpose(0, 2, 1, 3).reshape(
+            K, Q, C * R
+        )
+        lerped = jnp.einsum(
+            "bkq,kqm->bkm", wvec, tblr, preferred_element_type=jnp.float32
+        ).reshape(B, F, 2, D, C, R)
         out = jnp.sum(jnp.prod(lerped, axis=3), axis=-1)  # [B,F,2,C]
         return out.reshape(B, F * 2 * C).astype(compute_dtype)
 
