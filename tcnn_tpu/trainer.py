@@ -80,6 +80,8 @@ class Trainer:
             return False
         if self.perturbation_sigma != 0.0:
             return False
+        if self.compute_dtype != jnp.bfloat16:
+            return False  # the fused kernel computes in bf16
         try:
             import jax as _jax
 

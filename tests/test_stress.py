@@ -90,3 +90,13 @@ def test_logging_callback_and_severities():
         (tc.LogSeverity.Warning, "hello"),
         (tc.LogSeverity.Debug, "quiet"),
     ]
+
+
+def test_step_timer():
+    from tcnn_tpu.utils.profiling import StepTimer
+
+    t = StepTimer(128)
+    for i in range(5):
+        t.step(jnp.ones(4) * i)
+    assert t.steps_per_sec > 0
+    assert t.samples_per_sec == pytest.approx(t.steps_per_sec * 128)
