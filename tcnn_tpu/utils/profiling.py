@@ -47,7 +47,8 @@ class StepTimer:
 
     @property
     def samples_per_sec(self) -> float:
-        return self.steps_per_sec * self.batch_size
+        dt = self._elapsed()
+        return self._steps * self.batch_size / dt if dt > 0 else 0.0
 
 
 @contextlib.contextmanager

