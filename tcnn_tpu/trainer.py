@@ -286,3 +286,19 @@ class Trainer:
     def load(self, path: str) -> None:
         with open(path) as f:
             self.deserialize(json.load(f))
+
+    # -- orbax backend (sharded/async-capable checkpoints for multi-host) --
+    def save_orbax(self, path: str) -> None:
+        """Checkpoint the full training state with orbax (the TPU-native
+        format: works with sharded multi-host state, unlike the JSON
+        snapshot which gathers to host)."""
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, self.state, force=True)
+
+    def load_orbax(self, path: str) -> None:
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            self.state = ckptr.restore(path, self.state)

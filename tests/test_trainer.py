@@ -153,3 +153,26 @@ def test_ema_inference_params():
     lp = np.asarray(m.trainer.params)
     assert ip.shape == lp.shape
     assert not np.allclose(ip, lp)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import shutil
+
+    cfg = {
+        "loss": {"otype": "L2"},
+        "optimizer": {"otype": "Adam"},
+        "encoding": {"otype": "Identity"},
+        "network": {"otype": "CutlassMLP", "n_neurons": 16, "n_hidden_layers": 1},
+    }
+    m = tc.create_from_config(2, 1, cfg)
+    x = jnp.ones((128, 2)) * 0.3
+    t = jnp.ones((128, 1)) * 0.7
+    for _ in range(3):
+        m.trainer.training_step(x, t)
+    path = str(tmp_path / "ckpt")
+    m.trainer.save_orbax(path)
+    m2 = tc.create_from_config(2, 1, cfg)
+    m2.trainer.load_orbax(path)
+    np.testing.assert_array_equal(
+        np.asarray(m.trainer.state["params"]), np.asarray(m2.trainer.state["params"])
+    )
