@@ -332,9 +332,11 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale):
 
     b = x.shape[0]
     # the fused kernel keeps per-level oh/ohlo_w masks alive between the
-    # gather and the scatter: halve the tile vs the standalone grid kernels
-    # to fit VMEM (measured: tile 1024 needs ~126 MB on config_hash)
-    nt = max(plan.batch_tile // 2, 128)
+    # gather and the scatter, so it runs a smaller batch tile than the
+    # standalone grid kernels. Measured on v5e (config_hash, b=2^18):
+    # tile 1024 OOMs VMEM (~126 MB), 512 -> 38.8 ms, 256 -> 34.8 ms (best:
+    # live masks fit comfortably and pipeline), 128 -> 38.4 ms.
+    nt = max(plan.batch_tile // 4, 128)
     padded = -(-b // nt) * nt
     out_dims = targets.shape[1]
     if padded != b:
