@@ -13,7 +13,6 @@ add otypes.
 from __future__ import annotations
 
 from .common import (
-    Activation,
     GridType,
     parse_activation,
     parse_grid_type,
