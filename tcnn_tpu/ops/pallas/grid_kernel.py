@@ -62,6 +62,11 @@ from ...common import GridType, HashType, InterpolationType, smoothstep
 
 LANE = 128
 MAX_PACKED_TABLE_BYTES = 24 * 1024 * 1024
+#: the one-hot matmul formulation costs O(batch x total_table_rows) MXU
+#: work; beyond ~1.5M rows (e.g. L16/T=2^15 config_hash is 0.35M;
+#: L16/T=2^16 is ~1.05M) it loses to any per-sample-cost path and Mosaic
+#: compile times blow up - fall back to the XLA oracle there.
+MAX_TABLE_ROWS = 1_500_000
 MAX_DENSE_INDEX = 1 << 24  # float32-exact integer range guard
 
 
@@ -159,6 +164,8 @@ def plan_for(enc) -> GridKernelPlan | None:
     )
     packed_bytes = plan.h_total * LANE * plan.f * 2
     if packed_bytes > MAX_PACKED_TABLE_BYTES:
+        return None
+    if plan.h_total * LANE > MAX_TABLE_ROWS:
         return None
     return plan
 

@@ -70,7 +70,20 @@ def supported(model, loss, perturbation_sigma: float) -> bool:
         return False
     if not isinstance(loss, Loss):
         return False
-    return model.encoding._kernel_plan() is not None
+    plan = model.encoding._kernel_plan()
+    if plan is None:
+        return False
+    # VMEM estimate: the fused kernel caches the per-level one-hot masks
+    # between gather and scatter - for big tables that dominates and the
+    # composed kernels (which recompute) are the right path.
+    nt = max(plan.batch_tile // 4, 128)
+    c_nt = plan.n_corners * nt
+    oh_bytes = c_nt * plan.h_total * 2  # bf16
+    ohlo_bytes = c_nt * 128 * plan.n_levels * 4  # f32
+    table_bytes = plan.h_total * 128 * plan.f * 2
+    gtable_bytes = plan.h_total * 128 * plan.f * 4
+    est = oh_bytes + ohlo_bytes + table_bytes + gtable_bytes
+    return est < 70 * 1024 * 1024
 
 
 def _kernel(
