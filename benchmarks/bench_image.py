@@ -28,27 +28,34 @@ import jax.numpy as jnp
 import numpy as np
 
 import tcnn_tpu as tc
-from tcnn_tpu.utils.image import load_image, sample_image, synthetic_image
+from tcnn_tpu.utils.image import (
+    build_quad_table,
+    load_image,
+    sample_image_quad,
+    synthetic_image,
+)
 
 REFERENCE_IMAGE = "/root/reference/data/images/albert.jpg"
 TARGET_SAMPLES = 1 << 24  # samples per measurement
 
 
 def bench_config(config, image, batch_sizes):
-    image_d = jnp.asarray(image)
+    h, w = image.shape[:2]
+    quad = jax.jit(build_quad_table)(jnp.asarray(image))
     results = []
     for bs in batch_sizes:
         model = tc.create_from_config(2, 3, config)
         trainer = model.trainer
 
-        def step(state, key):
+        def step(state, quad, key):
             key, k = jax.random.split(key)
             xy = jax.random.uniform(k, (bs, 2))
-            rgb = sample_image(image_d, xy)
+            rgb = sample_image_quad(quad, h, w, xy)
             state, loss = trainer.train_step_fn(state, xy, rgb)
             return state, key, loss
 
-        jstep = jax.jit(step, donate_argnums=(0,))
+        _jstep = jax.jit(step, donate_argnums=(0,))
+        jstep = lambda state, key: _jstep(state, quad, key)
 
         def infer(params, key):
             key, k = jax.random.split(key)

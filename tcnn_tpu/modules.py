@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .common import BATCH_SIZE_GRANULARITY, COMPUTE_DTYPE, next_multiple
 from .config import create_network_with_input_encoding
@@ -43,6 +44,18 @@ class Module:
             "prepare_input_gradients"
             in inspect.signature(model.apply).parameters
         )
+        self._apply = jax.jit(self._apply_fn, static_argnums=(2,))
+
+    # -- pickling (modules.py:194-204 in the reference torch binding) -------
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("_apply", None)  # jitted callables don't pickle
+        state["params"] = np.asarray(state["params"])
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self.params = jnp.asarray(self.params, jnp.float32)
         self._apply = jax.jit(self._apply_fn, static_argnums=(2,))
 
     # functional core: padded-batch in, trimmed output out

@@ -102,3 +102,22 @@ def test_step_timer():
     assert sp > 0
     # rates are re-measured per read; compare loosely
     assert t.samples_per_sec == pytest.approx(sp * 128, rel=0.5)
+
+
+def test_module_pickling():
+    """Modules pickle and rebuild (modules.py:194-204 reference parity)."""
+    import pickle
+
+    e = tc.Encoding(2, {"otype": "OneBlob", "n_bins": 8})
+    x = jnp.full((5, 2), 0.37)
+    y0 = np.asarray(e(x))
+    e2 = pickle.loads(pickle.dumps(e))
+    np.testing.assert_array_equal(np.asarray(e2(x)), y0)
+
+    net = tc.NetworkWithInputEncoding(
+        2, 3, {"otype": "HashGrid", "n_levels": 4, "log2_hashmap_size": 10},
+        {"otype": "FullyFusedMLP", "n_neurons": 32, "n_hidden_layers": 1},
+    )
+    y0 = np.asarray(net(x))
+    net2 = pickle.loads(pickle.dumps(net))
+    np.testing.assert_array_equal(np.asarray(net2(x)), y0)
