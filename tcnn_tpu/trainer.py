@@ -170,17 +170,21 @@ class Trainer:
             step = self._get_jitted(
                 "train_ext",
                 lambda s, i, g: self.train_step_fn(s, i, None, None, g),
+                donate_argnums=(0,),
             )
             self.state, loss_value = step(self.state, inputs, dL_doutput)
         elif pdf is not None:
             step = self._get_jitted(
                 "train_pdf",
                 lambda s, i, t, p: self.train_step_fn(s, i, t, p),
+                donate_argnums=(0,),
             )
             self.state, loss_value = step(self.state, inputs, targets, pdf)
         else:
             step = self._get_jitted(
-                "train", lambda s, i, t: self.train_step_fn(s, i, t)
+                "train",
+                lambda s, i, t: self.train_step_fn(s, i, t),
+                donate_argnums=(0,),
             )
             self.state, loss_value = step(self.state, inputs, targets)
         return loss_value
