@@ -61,8 +61,6 @@ def supported(model, loss, perturbation_sigma: float) -> bool:
         return False
     if not isinstance(model.encoding, GridEncoding):
         return False
-    if model.encoding.max_level is not None:
-        return False
     mlp = model.network
     if not isinstance(mlp, FullyFusedMLP):
         return False
@@ -86,6 +84,16 @@ def supported(model, loss, perturbation_sigma: float) -> bool:
     return est < 70 * 1024 * 1024
 
 
+def _level_active(plan, l, max_level):
+    """Static coarse-to-fine gate (grid.h:69-92 semantics: level zeroed when
+    level >= max_level * n_levels + 1e-3). max_level is a python float, so
+    masked levels are skipped AT TRACE TIME - clamping levels also removes
+    their compute, which the reference's early-return achieves at runtime."""
+    if max_level is None:
+        return True
+    return l < max_level * plan.n_levels + 1e-3
+
+
 def _kernel(
     x_ref,
     t_ref,
@@ -98,11 +106,19 @@ def _kernel(
     n_weights,
     enc_pad,
     n_valid,
+    max_level,
+    has_pdf,
 ):
     n_w = n_weights
     const_refs = rest[:len(gk._CONST_NAMES)]
     w_refs = rest[len(gk._CONST_NAMES) : len(gk._CONST_NAMES) + n_w]
-    out_refs = rest[len(gk._CONST_NAMES) + n_w :]
+    pdf_ref = None
+    if has_pdf:
+        pdf_ref = rest[len(gk._CONST_NAMES) + n_w]
+        n_w_end = len(gk._CONST_NAMES) + n_w + 1
+    else:
+        n_w_end = len(gk._CONST_NAMES) + n_w
+    out_refs = rest[n_w_end:]
     gtable_ref = out_refs[0]
     gw_refs = out_refs[1 : 1 + n_w]
     loss_ref = out_refs[1 + n_w]
@@ -131,6 +147,12 @@ def _kernel(
     ohlo_ws = []
     cols = []
     for l, level in enumerate(plan.levels):
+        if not _level_active(plan, l, max_level):
+            ohs.append(None)
+            ohlo_ws.append(None)
+            for _ in range(F):
+                cols.append(jnp.zeros((C * nt, 1), jnp.float32))
+            continue
         oh = (
             hi[:, l : l + 1]
             == jax.lax.broadcasted_iota(jnp.int32, (C * nt, level.h), 1)
@@ -171,7 +193,11 @@ def _kernel(
     # ---- loss value + gradient (tcnn-exact elementwise family) -------------
     pred = hs[-1].astype(jnp.float32)  # [Nt, out_pad]
     targets = t_ref[:].astype(jnp.float32)
-    pdf = jnp.ones_like(targets)
+    pdf = (
+        pdf_ref[:].astype(jnp.float32)
+        if pdf_ref is not None
+        else jnp.ones_like(targets)
+    )
     values, grad = loss.value_and_grad_fn(pred, targets, pdf)
     # mask rows beyond the true batch (batch padded to the tile size);
     # normalization to the true batch happens in the wrapper
@@ -208,6 +234,8 @@ def _kernel(
 
     # ---- grid scatter (reusing oh / ohlo_w) ---------------------------------
     for l, level in enumerate(plan.levels):
+        if ohs[l] is None:  # max_level-clamped: gradient stays zero
+            continue
         rhs = jnp.concatenate(
             [
                 ohlo_ws[l] * gy_c[:, l * F + f : l * F + f + 1]
@@ -324,10 +352,11 @@ def fused_forward(model, params, x):
     return y[:b]
 
 
-def fused_train_grads(model, loss, params, x, targets, loss_scale):
+def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None):
     """(loss_value_sum, grads_flat) for a NetworkWithInputEncoding(grid,
     FullyFusedMLP) model - one Pallas kernel per batch tile."""
     plan = model.encoding._kernel_plan()
+    max_level = model.encoding.max_level
     mlp = model.network
     enc = model.encoding
     n_net = mlp.n_params
@@ -355,6 +384,8 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale):
     if padded != b:
         x = jnp.pad(x, ((0, padded - b), (0, 0)))
         targets = jnp.pad(targets, ((0, padded - b), (0, 0)))
+        if pdf is not None:
+            pdf = jnp.pad(pdf, ((0, padded - b), (0, 0)), constant_values=1.0)
 
     consts = gk._plan_constants(plan)
     grid_steps = padded // nt
@@ -368,6 +399,8 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale):
         n_weights=n_w,
         enc_pad=enc_pad,
         n_valid=b,
+        max_level=max_level,
+        has_pdf=pdf is not None,
     )
 
     in_specs = (
@@ -385,6 +418,12 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale):
             pl.BlockSpec(w.shape, lambda g: (0, 0), memory_space=pltpu.VMEM)
             for w in wts
         ]
+        + (
+            [pl.BlockSpec((nt, out_dims), lambda g: (g, 0),
+                          memory_space=pltpu.VMEM)]
+            if pdf is not None
+            else []
+        )
     )
     out_specs = (
         [
@@ -406,6 +445,7 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale):
         + [jax.ShapeDtypeStruct((1, 1), jnp.float32)]
     )
 
+    pdf_args = (pdf,) if pdf is not None else ()
     outs = pl.pallas_call(
         kern,
         grid=(grid_steps,),
@@ -413,7 +453,7 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale):
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=gk._VMEM_LIMIT,
-    )(x, targets, table_packed, *gk._const_args(consts), *wts)
+    )(x, targets, table_packed, *gk._const_args(consts), *wts, *pdf_args)
 
     gtable = outs[0]
     gwts = outs[1 : 1 + n_w]

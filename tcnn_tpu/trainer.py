@@ -75,8 +75,8 @@ class Trainer:
     #: combination supports it); True/False force.
     use_fused_train_kernel: bool | None = None
 
-    def _fused_kernel_ok(self, pdf) -> bool:
-        if self.use_fused_train_kernel is False or pdf is not None:
+    def _fused_kernel_ok(self, pdf=None) -> bool:
+        if self.use_fused_train_kernel is False:
             return False
         if self.perturbation_sigma != 0.0:
             return False
@@ -105,7 +105,7 @@ class Trainer:
 
             total, grads = fused_train_grads(
                 self.model, self.loss_fn, params, inputs, targets,
-                self.loss_scale,
+                self.loss_scale, pdf=pdf,
             )
             return total, grads
 

@@ -163,3 +163,40 @@ def test_data_parallel_uses_fused_path_shape():
     for _ in range(10):
         state, lv = dp.step(state, x, t)
     assert float(lv) < float(l0)
+
+
+def test_fused_with_pdf_and_max_level():
+    """data_pdf flows into the in-kernel loss; max_level statically skips
+    clamped levels (grid.h:69-92 semantics), matching the composed path."""
+    m = _model()
+    tr = m.trainer
+    rng = np.random.default_rng(5)
+    B = 512
+    x = jnp.asarray(rng.uniform(size=(B, 2)), jnp.float32)
+    t = jnp.asarray(rng.uniform(size=(B, 3)), jnp.float32)
+    pdf = jnp.asarray(rng.uniform(0.5, 2.0, (B, 3)), jnp.float32)
+
+    m.network.encoding.max_level = 0.5  # clamp upper half of the levels
+
+    lv_ref, g_ref = tr.loss_and_grad_fn(
+        tr.state["params"], x, t, pdf, jax.random.PRNGKey(0)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        lv_f, g_f = fused_train_grads(
+            m.network, tr.loss_fn, tr.state["params"], x, t, tr.loss_scale,
+            pdf=pdf,
+        )
+    np.testing.assert_allclose(float(lv_f), float(lv_ref), rtol=1e-3)
+    gr, gf = np.asarray(g_ref), np.asarray(g_f)
+    rel = np.linalg.norm(gf - gr) / max(np.linalg.norm(gr), 1e-12)
+    assert rel < 8e-2, rel
+    # clamped levels must have exactly zero table gradients in both
+    n_net = m.network.network.n_params
+    enc = m.network.encoding
+    F = enc.n_features_per_level
+    # max_level*L + 1e-3 = 3.001 -> levels 0..3 active, 4..5 clamped
+    for lvl in range(4, 6):
+        off = n_net + int(enc._offsets[lvl]) * F
+        size = int(enc._sizes[lvl]) * F
+        assert np.all(gf[off : off + size] == 0.0)
+        assert np.all(gr[off : off + size] == 0.0)
