@@ -26,9 +26,10 @@ Outputs: per-tile loss-value partial sums, the MLP weight gradients and the
 packed grid-table gradients, both accumulated across batch tiles in VMEM -
 deterministic, unlike the reference's atomicAdd scatter.
 
-Used by the Trainer when the model is grid + FullyFusedMLP with a
-supported loss and no perturbation/pdf/external-gradient features; the
-composed per-op path remains the general fallback (identical math).
+Used by the Trainer when the model is grid + FullyFusedMLP with an
+elementwise loss (data_pdf and max_level coarse-to-fine supported;
+perturbation_sigma and external dL_doutput fall back); the composed
+per-op path remains the general fallback (identical math).
 """
 
 from __future__ import annotations
@@ -37,7 +38,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
