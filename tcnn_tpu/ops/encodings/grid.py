@@ -156,6 +156,13 @@ class GridEncoding(Encoding):
     #: NetworkWithInputEncoding checks this to thread needs_input_grad
     supports_input_grad_opt = True
 
+    #: opt-in: use the Pallas input-gradient kernel when
+    #: needs_input_grad=True (kernel_grid_backward_input parity,
+    #: grid.h:322-349). FIRST-order only - grad-of-grad through this path
+    #: is undefined, so it stays off by default (the XLA path supports
+    #: arbitrary-order autodiff).
+    fast_input_grads = False
+
     def _kernel_plan(self):
         if self._kernel_plan_cache == ():
             from ..pallas.grid_kernel import plan_for
@@ -243,16 +250,31 @@ class GridEncoding(Encoding):
         """
         use_pallas = impl == "pallas" or (
             impl in (None, "auto")
-            and not needs_input_grad
+            and (not needs_input_grad or self.fast_input_grads)
             and jax.default_backend() == "tpu"
         )
         if use_pallas:
             plan = self._kernel_plan()
+            ig = (
+                needs_input_grad
+                and self.fast_input_grads
+                and self.interpolation != InterpolationType.Nearest
+                and (max_level is None and self.max_level is None)
+            )
             if plan is not None:
-                from ..pallas.grid_kernel import grid_encode_pallas
+                if ig:
+                    from ..pallas.grid_kernel import grid_encode_pallas_ig
 
-                y = grid_encode_pallas(plan, params, x).astype(compute_dtype)
-                return self._mask_max_level(y, x.shape[0], max_level)
+                    return grid_encode_pallas_ig(plan, params, x).astype(
+                        compute_dtype
+                    )
+                if not needs_input_grad:
+                    from ..pallas.grid_kernel import grid_encode_pallas
+
+                    y = grid_encode_pallas(plan, params, x).astype(
+                        compute_dtype
+                    )
+                    return self._mask_max_level(y, x.shape[0], max_level)
             if impl == "pallas":
                 raise NotImplementedError(
                     "grid config unsupported by the Pallas kernel"

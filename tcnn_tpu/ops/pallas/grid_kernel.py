@@ -295,8 +295,12 @@ def _positions(plan: GridKernelPlan, x, cr):
     return cells, w
 
 
-def _corner_indices_and_weights(plan: GridKernelPlan, cells, w, cr):
-    """Returns per-corner (idx [Nt, L] i32, weight [Nt, L] f32 or None)."""
+def _corner_indices_and_weights(
+    plan: GridKernelPlan, cells, w, cr, want_terms: bool = False
+):
+    """Returns per-corner (idx [Nt, L] i32, weight [Nt, L] f32 or None).
+    With want_terms, each entry is (idx, cw, terms) where terms[d] is the
+    per-dim selected factor [Nt, L] (w_d or 1-w_d) - needed for dW/dx."""
     L, D = plan.n_levels, plan.d
 
     nearest = plan.interpolation == InterpolationType.Nearest
@@ -309,6 +313,7 @@ def _corner_indices_and_weights(plan: GridKernelPlan, cells, w, cr):
         csum = None
         hxor = None
         cw = None
+        terms = []
         for d in range(D):
             bit = (corner >> d) & 1
             cc = cells[:, dim_cols[d]] + bit  # [Nt, L]
@@ -320,6 +325,8 @@ def _corner_indices_and_weights(plan: GridKernelPlan, cells, w, cr):
                 wd = w[:, dim_cols[d]]
                 term = wd if bit else 1.0 - wd
                 cw = term if cw is None else cw * term
+                if want_terms:
+                    terms.append(term)
         raw = jnp.where(cr["hash_mask"] == 1, hxor, csum)  # [Nt, L]
 
         idx_and = raw & cr["size_m1"]
@@ -328,7 +335,7 @@ def _corner_indices_and_weights(plan: GridKernelPlan, cells, w, cr):
             fraw - jnp.floor(fraw / cr["size_f"]) * cr["size_f"]
         ).astype(jnp.int32)
         idx = jnp.where(cr["pow2_mask"] == 1, idx_and, idx_fmod)
-        out.append((idx, cw))
+        out.append((idx, cw, terms) if want_terms else (idx, cw))
     return out
 
 
@@ -445,6 +452,189 @@ def _bwd_kernel(x_ref, gy_ref, *const_and_out, plan: GridKernelPlan):
         )  # [H_l, 128*F]
         sl = slice(level.row_off, level.row_off + level.h)
         gtable_ref[sl, :] = gtable_ref[sl, :] + contrib
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel WITH input gradients (kernel_grid_backward +
+# kernel_grid_backward_input, grid.h:214-349, fused: the feature re-gather
+# needed for dL/dx shares the one-hot masks with the table scatter)
+# ---------------------------------------------------------------------------
+
+
+def _bwd_ig_kernel(x_ref, gy_ref, table_ref, *const_and_out, plan):
+    const_refs = const_and_out[:-2]
+    gtable_ref, gx_ref = const_and_out[-2], const_and_out[-1]
+    cr = {name: ref[:] for name, ref in zip(_CONST_NAMES, const_refs)}
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        gtable_ref[:] = jnp.zeros_like(gtable_ref)
+
+    x = x_ref[:]
+    gy = gy_ref[:].astype(jnp.float32)  # f-major [Nt, F*L]
+    nt = x.shape[0]
+    F, C, L, D = plan.f, plan.n_corners, plan.n_levels, plan.d
+
+    # positions + per-dim interpolation terms and their x-derivatives
+    L_, D_ = L, D
+    xx = jnp.concatenate(
+        [jnp.broadcast_to(x[:, d : d + 1], (nt, L_)) for d in range(D_)],
+        axis=1,
+    )
+    pos = xx * cr["scales"] + 0.5
+    cell_f = jnp.floor(pos)
+    fract = pos - cell_f
+    cells = cell_f.astype(jnp.int32)
+    if plan.interpolation == InterpolationType.Smoothstep:
+        w = smoothstep(fract)
+        # d smoothstep(t)/dx = 6 t (1-t) * scale
+        deriv = 6.0 * fract * (1.0 - fract) * cr["scales"]
+    else:
+        w = fract
+        deriv = jnp.broadcast_to(cr["scales"], fract.shape)
+
+    per_corner = _corner_indices_and_weights(plan, cells, w, cr, want_terms=True)
+    idx = jnp.concatenate([i for i, _, _ in per_corner], axis=0)
+    hi = idx >> 7
+    lo = idx & (LANE - 1)
+    cw = jnp.concatenate([c for _, c, _ in per_corner], axis=0)
+
+    gy_c = jnp.concatenate([gy] * C, axis=0)  # [C*Nt, F*L]
+    cwf = jnp.concatenate([cw] * F, axis=1) if F > 1 else cw
+    a = gy_c * cwf  # weighted scatter values, f-major
+
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (C * nt, LANE), 1)
+
+    picked_cols = [[] for _ in range(F)]
+    for l, level in enumerate(plan.levels):
+        oh = (
+            hi[:, l : l + 1]
+            == jax.lax.broadcasted_iota(jnp.int32, (C * nt, level.h), 1)
+        ).astype(jnp.bfloat16)
+        ohlo = (lo[:, l : l + 1] == lane_iota).astype(jnp.float32)
+        tbl = table_ref[level.row_off : level.row_off + level.h, :]
+        g = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)
+        # unweighted per-corner feature values (for dL/dx)
+        for f in range(F):
+            picked_cols[f].append(
+                jnp.sum(
+                    g[:, f * LANE : (f + 1) * LANE] * ohlo,
+                    axis=1,
+                    keepdims=True,
+                )
+            )
+        # table scatter (same as _bwd_kernel)
+        rhs = jnp.concatenate(
+            [ohlo * a[:, f * L + l : f * L + l + 1] for f in range(F)],
+            axis=1,
+        ).astype(jnp.bfloat16)
+        contrib = jax.lax.dot_general(
+            oh, rhs,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        sl = slice(level.row_off, level.row_off + level.h)
+        gtable_ref[sl, :] = gtable_ref[sl, :] + contrib
+
+    # dL/dx: sum over levels/corners of (sum_f feat*gy) * dW_c/dx_d
+    dot_all = None  # [C*Nt, L]
+    for f in range(F):
+        pf = jnp.concatenate(picked_cols[f], axis=1)  # [C*Nt, L]
+        term = pf * gy_c[:, f * L : (f + 1) * L]
+        dot_all = term if dot_all is None else dot_all + term
+
+    deriv_c = jnp.concatenate([deriv] * C, axis=0)  # [C*Nt, D*L]
+    gx_cols = []
+    for d in range(D):
+        prodsgn = []
+        for corner_i, (_, _, terms) in enumerate(per_corner):
+            sgn = 1.0 if (corner_i >> d) & 1 else -1.0
+            other = None
+            for d2 in range(D):
+                if d2 == d:
+                    continue
+                other = terms[d2] if other is None else other * terms[d2]
+            if other is None:
+                other = jnp.ones_like(terms[0])
+            prodsgn.append(sgn * other)
+        prodsgn = jnp.concatenate(prodsgn, axis=0)  # [C*Nt, L]
+        contrib = dot_all * prodsgn * deriv_c[:, d * L : (d + 1) * L]
+        gx_cols.append(jnp.sum(contrib, axis=1, keepdims=True))  # [C*Nt, 1]
+    gx = jnp.concatenate(gx_cols, axis=1)  # [C*Nt, D]
+    gx_ref[:] = gx.reshape(C, nt, D).sum(axis=0).astype(gx_ref.dtype)
+
+
+def _bwd_ig_call(plan: GridKernelPlan, table_packed, x, gy):
+    b = x.shape[0]
+    nt = plan.batch_tile
+    consts = _plan_constants(plan)
+    return pl.pallas_call(
+        functools.partial(_bwd_ig_kernel, plan=plan),
+        grid=(b // nt,),
+        in_specs=[
+            pl.BlockSpec((nt, x.shape[1]), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (nt, plan.out_width), lambda g: (g, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (plan.h_total, LANE * plan.f),
+                lambda g: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + _const_specs(consts),
+        out_specs=[
+            pl.BlockSpec(
+                (plan.h_total, LANE * plan.f),
+                lambda g: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (nt, x.shape[1]), lambda g: (g, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((plan.h_total, LANE * plan.f), jnp.float32),
+            jax.ShapeDtypeStruct((b, x.shape[1]), jnp.float32),
+        ],
+        compiler_params=_VMEM_LIMIT,
+    )(x, gy, table_packed, *_const_args(consts))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _grid_pallas_ig(plan, n_params, params, x):
+    table_packed = repack_table(plan, params)
+    to_public, _ = _fmajor_perm(plan)
+    return _fwd_call(plan, table_packed, x)[:, to_public]
+
+
+def _grid_pallas_ig_fwd(plan, n_params, params, x):
+    return _grid_pallas_ig(plan, n_params, params, x), (params, x)
+
+
+def _grid_pallas_ig_bwd(plan, n_params, res, gy):
+    params, x = res
+    _, to_fmajor = _fmajor_perm(plan)
+    table_packed = repack_table(plan, params)
+    gpacked, gx = _bwd_ig_call(plan, table_packed, x, gy[:, to_fmajor])
+    gparams = unpack_table_grads(plan, gpacked, n_params)
+    return gparams, gx.astype(x.dtype)
+
+
+_grid_pallas_ig.defvjp(_grid_pallas_ig_fwd, _grid_pallas_ig_bwd)
+
+
+def grid_encode_pallas_ig(plan: GridKernelPlan, params, x):
+    """Like grid_encode_pallas but the backward ALSO produces dL/dx
+    (first-order only; grad-of-grad is not defined through this path -
+    use the XLA oracle for second-order work)."""
+    b = x.shape[0]
+    nt = plan.batch_tile
+    padded = -(-b // nt) * nt
+    if padded != b:
+        x = jnp.pad(x, ((0, padded - b), (0, 0)))
+    y = _grid_pallas_ig(plan, int(params.shape[0]), params, x)
+    return y[:b]
 
 
 # ---------------------------------------------------------------------------
