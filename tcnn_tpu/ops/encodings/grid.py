@@ -259,6 +259,7 @@ class GridEncoding(Encoding):
                 needs_input_grad
                 and self.fast_input_grads
                 and self.interpolation != InterpolationType.Nearest
+                and not self.stochastic_interpolation
                 and (max_level is None and self.max_level is None)
             )
             if plan is not None:

@@ -93,6 +93,9 @@ class GridKernelPlan:
     interpolation: InterpolationType
     offsets: tuple  # per-level feature-row offset into the flat param vector
     batch_tile: int
+    #: single-randomly-chosen-corner gradient scatter (grid.h:284-299);
+    #: the backward runs M=Nt matmuls instead of M=C*Nt - 2^D x cheaper
+    stochastic: bool = False
 
     @property
     def out_width(self):
@@ -111,8 +114,9 @@ def plan_for(enc) -> GridKernelPlan | None:
         return None
     if enc.n_dims_to_encode not in (2, 3, 4):
         return None
-    if enc.stochastic_interpolation:
-        return None
+    stochastic = bool(enc.stochastic_interpolation) and (
+        enc.interpolation != InterpolationType.Nearest
+    )
 
     from ..encodings.grid import _hash_factors
 
@@ -161,6 +165,7 @@ def plan_for(enc) -> GridKernelPlan | None:
         offsets=tuple(int(o) for o in enc._offsets[: enc.n_levels]),
         # C*Nt-row intermediates: keep corners*tile <= 8192 rows (VMEM)
         batch_tile=1024 if enc.n_dims_to_encode < 4 else 512,
+        stochastic=stochastic,
     )
     packed_bytes = plan.h_total * LANE * plan.f * 2
     if packed_bytes > MAX_PACKED_TABLE_BYTES:
@@ -455,6 +460,105 @@ def _bwd_kernel(x_ref, gy_ref, *const_and_out, plan: GridKernelPlan):
 
 
 # ---------------------------------------------------------------------------
+# Stochastic backward kernel (grid.h:284-299): each (sample, level) scatters
+# its full dL/dy into ONE corner chosen by comparing a per-(sample, level)
+# uniform draw with the interpolation weights. The chosen-corner index is
+# computed with DYNAMIC per-sample bits, so the scatter matmul runs at
+# M = Nt instead of M = C*Nt - 2^D x cheaper than the exact scatter.
+# ---------------------------------------------------------------------------
+
+
+def _bwd_stoch_kernel(x_ref, gy_ref, u_ref, *const_and_out, plan):
+    const_refs, gtable_ref = const_and_out[:-1], const_and_out[-1]
+    cr = {name: ref[:] for name, ref in zip(_CONST_NAMES, const_refs)}
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        gtable_ref[:] = jnp.zeros_like(gtable_ref)
+
+    x = x_ref[:]
+    gy = gy_ref[:].astype(jnp.float32)  # f-major [Nt, F*L]
+    u = u_ref[:]  # [Nt, L]
+    nt = x.shape[0]
+    F, L, D = plan.f, plan.n_levels, plan.d
+
+    cells, w = _positions(plan, x, cr)
+
+    # chosen-corner bits: bit_d = (u < w_d), the SAME u for every dim of a
+    # (sample, level) pair (grid.h:288-296)
+    u_dl = jnp.concatenate([u] * D, axis=1)  # [Nt, D*L]
+    bits = (u_dl < w).astype(jnp.int32)
+
+    # grid_index with dynamic bits
+    csum = None
+    hxor = None
+    for d in range(D):
+        sl_d = slice(d * L, (d + 1) * L)
+        cc = cells[:, sl_d] + bits[:, sl_d]
+        dmul = cc * cr["strides"][:, sl_d]
+        hmul = cc * cr["factors"][:, sl_d]
+        csum = dmul if csum is None else csum + dmul
+        hxor = hmul if hxor is None else hxor ^ hmul
+    raw = jnp.where(cr["hash_mask"] == 1, hxor, csum)
+    idx_and = raw & cr["size_m1"]
+    fraw = raw.astype(jnp.float32)
+    idx_fmod = (fraw - jnp.floor(fraw / cr["size_f"]) * cr["size_f"]).astype(
+        jnp.int32
+    )
+    idx = jnp.where(cr["pow2_mask"] == 1, idx_and, idx_fmod)  # [Nt, L]
+    hi = idx >> 7
+    lo = idx & (LANE - 1)
+
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (nt, LANE), 1)
+    for l, level in enumerate(plan.levels):
+        oh = (
+            hi[:, l : l + 1]
+            == jax.lax.broadcasted_iota(jnp.int32, (nt, level.h), 1)
+        ).astype(jnp.bfloat16)
+        ohlo = (lo[:, l : l + 1] == lane_iota).astype(jnp.float32)
+        rhs = jnp.concatenate(
+            [ohlo * gy[:, f * L + l : f * L + l + 1] for f in range(F)],
+            axis=1,
+        ).astype(jnp.bfloat16)
+        contrib = jax.lax.dot_general(
+            oh, rhs,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        sl = slice(level.row_off, level.row_off + level.h)
+        gtable_ref[sl, :] = gtable_ref[sl, :] + contrib
+
+
+def _bwd_stoch_call(plan: GridKernelPlan, x, gy, u):
+    b = x.shape[0]
+    nt = plan.batch_tile
+    consts = _plan_constants(plan)
+    return pl.pallas_call(
+        functools.partial(_bwd_stoch_kernel, plan=plan),
+        grid=(b // nt,),
+        in_specs=[
+            pl.BlockSpec((nt, x.shape[1]), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (nt, plan.out_width), lambda g: (g, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (nt, plan.n_levels), lambda g: (g, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        + _const_specs(consts),
+        out_specs=pl.BlockSpec(
+            (plan.h_total, LANE * plan.f),
+            lambda g: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (plan.h_total, LANE * plan.f), jnp.float32
+        ),
+        compiler_params=_VMEM_LIMIT,
+    )(x, gy, u, *_const_args(consts))
+
+
+# ---------------------------------------------------------------------------
 # Backward kernel WITH input gradients (kernel_grid_backward +
 # kernel_grid_backward_input, grid.h:214-349, fused: the feature re-gather
 # needed for dL/dx shares the one-hot masks with the table scatter)
@@ -720,7 +824,15 @@ def _grid_pallas_fwd(plan, n_params, params, x):
 
 def _grid_pallas_bwd(plan, n_params, x, gy):
     _, to_fmajor = _fmajor_perm(plan)
-    gpacked = _bwd_call(plan, x, gy[:, to_fmajor])
+    if plan.stochastic:
+        # one uniform draw per (sample, level), fixed seed like the
+        # reference's random_val(1337, i + level*B) (grid.h:287)
+        u = jax.random.uniform(
+            jax.random.PRNGKey(1337), (x.shape[0], plan.n_levels)
+        )
+        gpacked = _bwd_stoch_call(plan, x, gy[:, to_fmajor], u)
+    else:
+        gpacked = _bwd_call(plan, x, gy[:, to_fmajor])
     gparams = unpack_table_grads(plan, gpacked, n_params)
     # dL/dx intentionally zero: the Pallas path is only selected when input
     # gradients are not required (see GridEncoding.apply / docstring above).

@@ -69,8 +69,8 @@ def supported(model, loss, perturbation_sigma: float) -> bool:
     if not isinstance(loss, Loss):
         return False
     plan = model.encoding._kernel_plan()
-    if plan is None:
-        return False
+    if plan is None or plan.stochastic:
+        return False  # the fused kernel's scatter is the exact one
     # VMEM estimate: the fused kernel caches the per-level one-hot masks
     # between gather and scatter - for big tables that dominates and the
     # composed kernels (which recompute) are the right path.
