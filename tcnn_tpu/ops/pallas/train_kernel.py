@@ -69,15 +69,19 @@ def supported(model, loss, perturbation_sigma: float) -> bool:
     if not isinstance(loss, Loss):
         return False
     plan = model.encoding._kernel_plan()
-    if plan is None or plan.stochastic:
-        return False  # the fused kernel's scatter is the exact one
+    if plan is None:
+        return False
     # VMEM estimate: the fused kernel caches the per-level one-hot masks
-    # between gather and scatter - for big tables that dominates and the
-    # composed kernels (which recompute) are the right path.
+    # between gather and scatter (not needed for the stochastic scatter,
+    # which builds chosen-corner masks) - for big tables that dominates and
+    # the composed kernels (which recompute) are the right path.
     nt = max(plan.batch_tile // 4, 128)
     c_nt = plan.n_corners * nt
-    oh_bytes = c_nt * plan.h_total * 2  # bf16
-    ohlo_bytes = c_nt * 128 * plan.n_levels * 4  # f32
+    if plan.stochastic:
+        oh_bytes = ohlo_bytes = 0
+    else:
+        oh_bytes = c_nt * plan.h_total * 2  # bf16
+        ohlo_bytes = c_nt * 128 * plan.n_levels * 4  # f32
     table_bytes = plan.h_total * 128 * plan.f * 2
     gtable_bytes = plan.h_total * 128 * plan.f * 4
     est = oh_bytes + ohlo_bytes + table_bytes + gtable_bytes
@@ -110,15 +114,19 @@ def _kernel(
     has_pdf,
 ):
     n_w = n_weights
+    stochastic = plan.stochastic
     const_refs = rest[:len(gk._CONST_NAMES)]
     w_refs = rest[len(gk._CONST_NAMES) : len(gk._CONST_NAMES) + n_w]
+    pos = len(gk._CONST_NAMES) + n_w
     pdf_ref = None
     if has_pdf:
-        pdf_ref = rest[len(gk._CONST_NAMES) + n_w]
-        n_w_end = len(gk._CONST_NAMES) + n_w + 1
-    else:
-        n_w_end = len(gk._CONST_NAMES) + n_w
-    out_refs = rest[n_w_end:]
+        pdf_ref = rest[pos]
+        pos += 1
+    u_ref = None
+    if stochastic:
+        u_ref = rest[pos]
+        pos += 1
+    out_refs = rest[pos:]
     gtable_ref = out_refs[0]
     gw_refs = out_refs[1 : 1 + n_w]
     loss_ref = out_refs[1 + n_w]
@@ -157,12 +165,14 @@ def _kernel(
             hi[:, l : l + 1]
             == jax.lax.broadcasted_iota(jnp.int32, (C * nt, level.h), 1)
         ).astype(jnp.bfloat16)
-        ohs.append(oh)
         ohlo = (lo[:, l : l + 1] == lane_iota).astype(jnp.float32)
         # fold the corner interpolation weight into the lane mask: both the
         # weighted pick (fwd) and the weighted scatter (bwd) use cw * ohlo
         ohlo_w = ohlo * cw[:, l : l + 1] if cw is not None else ohlo
-        ohlo_ws.append(ohlo_w)
+        # the stochastic scatter builds its own (chosen-corner) masks, so
+        # don't keep these alive in VMEM
+        ohs.append(None if stochastic else oh)
+        ohlo_ws.append(None if stochastic else ohlo_w)
         tbl = table_ref[level.row_off : level.row_off + level.h, :]
         g = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)
         for f in range(F):
@@ -230,6 +240,57 @@ def _kernel(
         )
 
     genc = g[:, : L * F]  # [Nt, L*F] f32 (drop the zero-pad columns)
+
+    if stochastic:
+        # single-corner scatter (grid.h:284-299): chosen-corner index with
+        # dynamic per-sample bits, M=Nt matmuls - 2^D x cheaper
+        D = plan.d
+        u = u_ref[:]  # [Nt, L]
+        u_dl = jnp.concatenate([u] * D, axis=1)
+        bits = (u_dl < w).astype(jnp.int32)
+        csum = None
+        hxor = None
+        for d in range(D):
+            sl_d = slice(d * L, (d + 1) * L)
+            cc = cells[:, sl_d] + bits[:, sl_d]
+            dmul = cc * cr["strides"][:, sl_d]
+            hmul = cc * cr["factors"][:, sl_d]
+            csum = dmul if csum is None else csum + dmul
+            hxor = hmul if hxor is None else hxor ^ hmul
+        raw = jnp.where(cr["hash_mask"] == 1, hxor, csum)
+        idx_and = raw & cr["size_m1"]
+        fraw = raw.astype(jnp.float32)
+        idx_fmod = (
+            fraw - jnp.floor(fraw / cr["size_f"]) * cr["size_f"]
+        ).astype(jnp.int32)
+        sidx = jnp.where(cr["pow2_mask"] == 1, idx_and, idx_fmod)
+        shi = sidx >> 7
+        slo = sidx & (LANE - 1)
+        lane_iota_nt = jax.lax.broadcasted_iota(jnp.int32, (nt, LANE), 1)
+        for l, level in enumerate(plan.levels):
+            if not _level_active(plan, l, max_level):
+                continue
+            oh1 = (
+                shi[:, l : l + 1]
+                == jax.lax.broadcasted_iota(jnp.int32, (nt, level.h), 1)
+            ).astype(jnp.bfloat16)
+            ohlo1 = (slo[:, l : l + 1] == lane_iota_nt).astype(jnp.float32)
+            rhs = jnp.concatenate(
+                [
+                    ohlo1 * genc[:, l * F + f : l * F + f + 1]
+                    for f in range(F)
+                ],
+                axis=1,
+            ).astype(jnp.bfloat16)
+            contrib = jax.lax.dot_general(
+                oh1, rhs,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            sl = slice(level.row_off, level.row_off + level.h)
+            gtable_ref[sl, :] = gtable_ref[sl, :] + contrib
+        return
+
     gy_c = jnp.concatenate([genc] * C, axis=0)  # [C*Nt, L*F]
 
     # ---- grid scatter (reusing oh / ohlo_w) ---------------------------------
@@ -445,7 +506,23 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None):
         + [jax.ShapeDtypeStruct((1, 1), jnp.float32)]
     )
 
-    pdf_args = (pdf,) if pdf is not None else ()
+    extra_args = []
+    if pdf is not None:
+        extra_args.append(pdf)
+    if plan.stochastic:
+        # fixed-seed uniform per (sample, level), like the reference's
+        # random_val(1337, ...) (grid.h:287)
+        extra_args.append(
+            jax.random.uniform(
+                jax.random.PRNGKey(1337), (padded, plan.n_levels)
+            )
+        )
+        in_specs = in_specs + [
+            pl.BlockSpec(
+                (nt, plan.n_levels), lambda g: (g, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
     outs = pl.pallas_call(
         kern,
         grid=(grid_steps,),
@@ -453,7 +530,7 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None):
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=gk._VMEM_LIMIT,
-    )(x, targets, table_packed, *gk._const_args(consts), *wts, *pdf_args)
+    )(x, targets, table_packed, *gk._const_args(consts), *wts, *extra_args)
 
     gtable = outs[0]
     gwts = outs[1 : 1 + n_w]

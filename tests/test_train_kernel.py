@@ -200,3 +200,55 @@ def test_fused_with_pdf_and_max_level():
         size = int(enc._sizes[lvl]) * F
         assert np.all(gf[off : off + size] == 0.0)
         assert np.all(gr[off : off + size] == 0.0)
+
+
+def test_fused_stochastic_scatter():
+    """The fused kernel's stochastic path: exact forward/loss, single-corner
+    table scatter (integer gradient mass, deterministic)."""
+    cfg_enc = {
+        "otype": "HashGrid",
+        "n_levels": 4,
+        "n_features_per_level": 2,
+        "log2_hashmap_size": 9,
+        "base_resolution": 4,
+        "per_level_scale": 1.6,
+        "stochastic_interpolation": True,
+    }
+    m = tc.create_from_config(
+        2,
+        3,
+        {
+            "loss": {"otype": "L2"},
+            "optimizer": {"otype": "Adam"},
+            "encoding": cfg_enc,
+            "network": {"otype": "FullyFusedMLP", "n_neurons": 32,
+                        "n_hidden_layers": 1},
+        },
+    )
+    plan = m.network.encoding._kernel_plan()
+    m.network.encoding._kernel_plan_cache = dataclasses.replace(
+        plan, batch_tile=256
+    )
+    tr = m.trainer
+    assert supported(m.network, tr.loss_fn, 0.0)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(512, 2)), jnp.float32)
+    t = jnp.asarray(rng.uniform(size=(512, 3)), jnp.float32)
+
+    lv_ref, _ = tr.loss_and_grad_fn(
+        tr.state["params"], x, t, None, jax.random.PRNGKey(0)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        lv_f, g1 = fused_train_grads(
+            m.network, tr.loss_fn, tr.state["params"], x, t, tr.loss_scale
+        )
+        _, g2 = fused_train_grads(
+            m.network, tr.loss_fn, tr.state["params"], x, t, tr.loss_scale
+        )
+    # the loss/forward is exact regardless of the stochastic scatter
+    np.testing.assert_allclose(float(lv_f), float(lv_ref), rtol=1e-3)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+    # table grads nonzero and finite
+    n_net = m.network.network.n_params
+    gt = np.asarray(g1[n_net:])
+    assert np.isfinite(gt).all() and np.abs(gt).max() > 0
