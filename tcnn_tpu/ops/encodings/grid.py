@@ -76,6 +76,21 @@ def grid_resolution(scale: float) -> int:
     return int(np.ceil(scale)) + 1
 
 
+def stochastic_uniforms(batch: int, n_levels: int):
+    """The per-(sample, level) uniform draws used by stochastic
+    interpolation to choose the scatter corner (grid.h:287:
+    random_val(1337, i + level * B) - fixed per sample index and level,
+    shared across dims).
+
+    This is the SINGLE source of corner randomness for all three
+    implementations (XLA path, standalone Pallas backward, fused train
+    kernel): each draws over the TRUE batch via this helper and pads as
+    needed, so the chosen corners - hence gradients - are identical no
+    matter which path dispatch selects.
+    """
+    return jax.random.uniform(jax.random.PRNGKey(1337), (batch, n_levels))
+
+
 class GridEncoding(Encoding):
     """Trainable multiresolution feature grid (hash / tiled / dense)."""
 
@@ -95,6 +110,7 @@ class GridEncoding(Encoding):
         stochastic_interpolation: bool = False,
         max_level: float | None = None,
         seed: int = 1337,
+        fast_input_grads: bool = False,
     ):
         if n_dims_to_encode not in (2, 3, 4):
             raise ValueError("GridEncoding supports 2, 3, or 4 input dims")
@@ -117,6 +133,7 @@ class GridEncoding(Encoding):
         #: (grid_interface.h:101-123)
         self.max_level = max_level
         self.seed = int(seed)
+        self.fast_input_grads = bool(fast_input_grads)
 
         # Offset table (grid.h:685-730): per-level sizes, 8-aligned, capped by
         # grid type; all in units of feature *vectors* (not scalars).
@@ -156,18 +173,28 @@ class GridEncoding(Encoding):
     #: NetworkWithInputEncoding checks this to thread needs_input_grad
     supports_input_grad_opt = True
 
-    #: opt-in: use the Pallas input-gradient kernel when
-    #: needs_input_grad=True (kernel_grid_backward_input parity,
-    #: grid.h:322-349). FIRST-order only - grad-of-grad through this path
-    #: is undefined, so it stays off by default (the XLA path supports
-    #: arbitrary-order autodiff).
-    fast_input_grads = False
+    # NOTE: ``fast_input_grads`` (kernel_grid_backward_input parity,
+    # grid.h:322-349) is an INSTANCE attribute set by the constructor (or
+    # the "fast_input_grads" JSON key). FIRST-order only - attempting
+    # grad-of-grad through that path raises (jax.custom_vjp's bwd is not
+    # differentiable); leave it off for second-order work (the XLA path
+    # supports arbitrary-order autodiff).
 
     def _kernel_plan(self):
         if self._kernel_plan_cache == ():
             from ..pallas.grid_kernel import plan_for
 
             self._kernel_plan_cache = plan_for(self)
+            if self._kernel_plan_cache is None and jax.default_backend() == "tpu":
+                from ...log import log_warning
+
+                log_warning(
+                    "GridEncoding config "
+                    f"(type={self.grid_type.value}, hash={self.hash_type.value}, "
+                    f"D={self.n_dims_to_encode}, rows={self._total_table_rows}) "
+                    "is not covered by the Pallas TPU kernels; falling back "
+                    "to the (much slower) XLA path."
+                )
         return self._kernel_plan_cache
 
     # -- shape / params -----------------------------------------------------
@@ -281,7 +308,10 @@ class GridEncoding(Encoding):
                     "grid config unsupported by the Pallas kernel"
                 )
         if self.stochastic_interpolation:
-            return self._apply_stochastic(params, x, compute_dtype, max_level)
+            return self._apply_stochastic(
+                params, x, compute_dtype, max_level,
+                needs_input_grad=needs_input_grad,
+            )
         return self._apply_xla(
             params, x, compute_dtype=compute_dtype, max_level=max_level
         )
@@ -375,13 +405,15 @@ class GridEncoding(Encoding):
             if self.interpolation == InterpolationType.Smoothstep
             else fract
         )
-        u = jax.random.uniform(jax.random.PRNGKey(1337), (B, L, 1))
+        u = stochastic_uniforms(B, L)[:, :, None]
         corner_bits = (u < w).astype(jnp.uint32)  # [B, L, D]
         chosen = cells + corner_bits
         level_index = self._grid_indices(chosen[:, :, None, :])[..., 0]
         return jnp.asarray(self._offsets)[None, :] + level_index  # [B, L]
 
-    def _apply_stochastic(self, params, x, compute_dtype, max_level):
+    def _apply_stochastic(
+        self, params, x, compute_dtype, max_level, needs_input_grad=True
+    ):
         """Forward = exact interpolation; backward scatters each level's
         full dL/dy into ONE stochastically chosen corner (weight 1)."""
 
@@ -400,21 +432,38 @@ class GridEncoding(Encoding):
             L, F = self.n_levels, self.n_features_per_level
             rows = self._stochastic_corner_rows(x).astype(jnp.int32)  # [B, L]
             g = gy.astype(jnp.float32).reshape(B, L, F)
+            # max_level clamping: levels beyond the clamp were zeroed in the
+            # forward and must receive no table gradient either (the
+            # reference kernel early-returns, grid.h:236-243). The cotangent
+            # gy is NOT automatically masked (the mask lives inside f's
+            # forward, which this custom_vjp replaces).
+            ml = max_level if max_level is not None else self.max_level
+            if ml is not None:
+                keep = jnp.arange(L, dtype=jnp.float32)[None, :] < (
+                    jnp.asarray(ml, jnp.float32) * L + 1e-3
+                ).reshape(-1, 1)
+                g = g * keep[..., None]
             table_g = (
                 jnp.zeros((self._total_table_rows, F), jnp.float32)
                 .at[rows.reshape(-1)]
                 .add(g.reshape(B * L, F))
             )
-            # dL/dx through the exact interpolation (the reference computes
-            # input grads from dy_dx, unaffected by the stochastic scatter)
-            _, vjp = jax.vjp(
-                lambda xx: self._apply_xla(
-                    params, xx, compute_dtype=compute_dtype,
-                    max_level=max_level,
-                ),
-                x,
-            )
-            (gx,) = vjp(gy)
+            if needs_input_grad:
+                # dL/dx through the exact interpolation (the reference
+                # computes input grads from dy_dx, unaffected by the
+                # stochastic scatter)
+                _, vjp = jax.vjp(
+                    lambda xx: self._apply_xla(
+                        params, xx, compute_dtype=compute_dtype,
+                        max_level=max_level,
+                    ),
+                    x,
+                )
+                (gx,) = vjp(gy)
+            else:
+                # the composed-model path never uses dL/dx (the encoding is
+                # the first layer) - skip the full re-vjp of the forward
+                gx = jnp.zeros_like(x)
             return table_g.reshape(-1).astype(params.dtype), gx
 
         f.defvjp(f_fwd, f_bwd)

@@ -812,34 +812,43 @@ def _fmajor_perm(plan):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _grid_pallas(plan, n_params, params, x):
+def _grid_pallas(plan, n_params, params, x, u):
     table_packed = repack_table(plan, params)
     to_public, _ = _fmajor_perm(plan)
     return _fwd_call(plan, table_packed, x)[:, to_public]
 
 
-def _grid_pallas_fwd(plan, n_params, params, x):
-    return _grid_pallas(plan, n_params, params, x), x
+def _grid_pallas_fwd(plan, n_params, params, x, u):
+    return _grid_pallas(plan, n_params, params, x, u), (x, u)
 
 
-def _grid_pallas_bwd(plan, n_params, x, gy):
+def _grid_pallas_bwd(plan, n_params, res, gy):
+    x, u = res
     _, to_fmajor = _fmajor_perm(plan)
     if plan.stochastic:
-        # one uniform draw per (sample, level), fixed seed like the
-        # reference's random_val(1337, i + level*B) (grid.h:287)
-        u = jax.random.uniform(
-            jax.random.PRNGKey(1337), (x.shape[0], plan.n_levels)
-        )
         gpacked = _bwd_stoch_call(plan, x, gy[:, to_fmajor], u)
     else:
         gpacked = _bwd_call(plan, x, gy[:, to_fmajor])
     gparams = unpack_table_grads(plan, gpacked, n_params)
     # dL/dx intentionally zero: the Pallas path is only selected when input
     # gradients are not required (see GridEncoding.apply / docstring above).
-    return gparams, jnp.zeros_like(x)
+    return gparams, jnp.zeros_like(x), jnp.zeros_like(u)
 
 
 _grid_pallas.defvjp(_grid_pallas_fwd, _grid_pallas_bwd)
+
+
+def stochastic_u_padded(b: int, padded: int, n_levels: int):
+    """Per-(sample, level) corner uniforms drawn over the TRUE batch via the
+    shared helper (one source for all stochastic paths - XLA, standalone
+    Pallas, fused kernel), padded with 2.0 (u >= 1 -> corner bits all 0;
+    padded rows have zero cotangent so the choice is irrelevant)."""
+    from ..encodings.grid import stochastic_uniforms
+
+    u = stochastic_uniforms(b, n_levels)
+    if padded != b:
+        u = jnp.pad(u, ((0, padded - b), (0, 0)), constant_values=2.0)
+    return u
 
 
 def grid_encode_pallas(plan: GridKernelPlan, params, x):
@@ -848,7 +857,11 @@ def grid_encode_pallas(plan: GridKernelPlan, params, x):
     b = x.shape[0]
     nt = plan.batch_tile
     padded = -(-b // nt) * nt
+    if plan.stochastic:
+        u = stochastic_u_padded(b, padded, plan.n_levels)
+    else:
+        u = jnp.zeros((1, 1), jnp.float32)  # unused placeholder
     if padded != b:
         x = jnp.pad(x, ((0, padded - b), (0, 0)))
-    y = _grid_pallas(plan, int(params.shape[0]), params, x)
+    y = _grid_pallas(plan, int(params.shape[0]), params, x, u)
     return y[:b]

@@ -510,13 +510,10 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None):
     if pdf is not None:
         extra_args.append(pdf)
     if plan.stochastic:
-        # fixed-seed uniform per (sample, level), like the reference's
-        # random_val(1337, ...) (grid.h:287)
-        extra_args.append(
-            jax.random.uniform(
-                jax.random.PRNGKey(1337), (padded, plan.n_levels)
-            )
-        )
+        # per-(sample, level) corner uniforms from the SHARED helper (drawn
+        # over the true batch, padded) so the chosen corners match the XLA
+        # and standalone-Pallas paths exactly
+        extra_args.append(gk.stochastic_u_padded(b, padded, plan.n_levels))
         in_specs = in_specs + [
             pl.BlockSpec(
                 (nt, plan.n_levels), lambda g: (g, 0),

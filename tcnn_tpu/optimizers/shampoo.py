@@ -228,20 +228,25 @@ class ShampooOptimizer(Optimizer):
             new_w = new_w.at[sl].set(w_mat_new.reshape(-1))
             sh_mom_new = sh_mom_new.at[sl].set(sh_sel.reshape(-1))
 
-            # root refresh (all groups at step 1; round-robin after)
+            # root refresh (all groups at step 1; round-robin after). The
+            # coupled-Newton iteration (30 batched matmul steps per factor)
+            # dominates the optimizer cost, so it must only run on refresh
+            # steps - lax.cond skips it entirely off-schedule (matching the
+            # reference's host-side schedule, shampoo.h:831-856), unlike a
+            # jnp.where which would compute-and-discard every step.
             refresh = jnp.logical_or(
                 first_step,
                 jnp.logical_and(
                     step % single == 0, (step // single) % n_batches == j
                 ),
             )
-            L_root_new = inverse_fourth_root(self._symmetrize(L))
-            R_root_new = inverse_fourth_root(self._symmetrize(R))
-            new_state[f"L_root_{j}"] = jnp.where(
-                refresh, L_root_new, state[f"L_root_{j}"]
-            )
-            new_state[f"R_root_{j}"] = jnp.where(
-                refresh, R_root_new, state[f"R_root_{j}"]
+            new_state[f"L_root_{j}"], new_state[f"R_root_{j}"] = jax.lax.cond(
+                refresh,
+                lambda L=L, R=R: (
+                    inverse_fourth_root(self._symmetrize(L)),
+                    inverse_fourth_root(self._symmetrize(R)),
+                ),
+                lambda j=j: (state[f"L_root_{j}"], state[f"R_root_{j}"]),
             )
 
         new_state["shampoo_momentum"] = sh_mom_new

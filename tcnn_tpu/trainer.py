@@ -153,10 +153,22 @@ class Trainer:
     # ------------------------------------------------------------------
     # Stateful convenience API
     # ------------------------------------------------------------------
+    def _trace_baked_key(self):
+        """Mutable model attributes that are baked in at trace time (python
+        scalars read during tracing). Including them in the jit-cache key
+        makes e.g. a coarse-to-fine max_level schedule (mutated via
+        GridEncoding.update_hyperparams between steps) take effect without
+        an explicit trainer.invalidate() - the reference treats max_level
+        as a per-launch runtime value (grid.h:236-240)."""
+        enc = getattr(self.model, "encoding", self.model)
+        ml = getattr(enc, "max_level", None)
+        return (None if ml is None else float(ml), self.perturbation_sigma)
+
     def _get_jitted(self, name, fn, **jit_kwargs):
-        if name not in self._jitted:
-            self._jitted[name] = jax.jit(fn, **jit_kwargs)
-        return self._jitted[name]
+        key = (name, self._trace_baked_key())
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(fn, **jit_kwargs)
+        return self._jitted[key]
 
     def invalidate(self):
         """Drop compiled artifacts (after update_hyperparams)."""
@@ -214,13 +226,29 @@ class Trainer:
 
     def forward(self, inputs, targets=None, pdf=None, use_inference_params=False):
         """Forward + loss values (the reference's Trainer::forward,
-        trainer.h:97-141). Returns a ctx dict."""
+        trainer.h:97-141). Returns a ctx dict.
+
+        Like the reference, output perturbation (logistic noise, sigma =
+        perturbation_sigma, trainer.h:114-121) is applied here too - so a
+        loss computed from forward() matches what training_step sees."""
         params = self.inference_params if use_inference_params else self.params
-        fwd = self._get_jitted(
-            "forward",
-            lambda p, i: self.model.apply(p, i, compute_dtype=self.compute_dtype),
-        )
-        out = fwd(params, inputs)
+
+        def _fwd(p, i, rng):
+            out = self.model.apply(p, i, compute_dtype=self.compute_dtype)
+            if self.perturbation_sigma > 0:
+                u = jax.random.uniform(
+                    rng, out.shape, minval=1e-6, maxval=1.0 - 1e-6
+                )
+                noise = self.perturbation_sigma * jnp.log(u / (1.0 - u))
+                out = out + noise.astype(out.dtype)
+            return out
+
+        fwd = self._get_jitted("forward", _fwd)
+        rng = self.state["rng"]
+        if self.perturbation_sigma > 0:
+            rng, rng_next = jax.random.split(rng)
+            self.state["rng"] = rng_next
+        out = fwd(params, inputs, rng)
         ctx = {"output": out}
         if targets is not None:
             ctx["loss_values"] = self.loss_fn(out, targets, pdf)

@@ -360,3 +360,48 @@ def test_stochastic_interpolation_backward():
         )
     # stochastic rows hold integer counts (weight 1 scatters of dL/dy = 1)
     assert np.allclose(g1, np.round(g1), atol=1e-4)
+
+
+def test_stochastic_max_level_masks_gradients():
+    """ADVICE r1 (medium): with stochastic_interpolation + max_level, the
+    clamped levels must receive ZERO table gradients (the reference kernel
+    early-returns for level > max_level, grid.h:236-243) - the stochastic
+    custom_vjp must mask the cotangent itself."""
+    kw = dict(
+        n_levels=4,
+        n_features_per_level=2,
+        log2_hashmap_size=8,
+        base_resolution=4,
+        per_level_scale=1.7,
+    )
+    enc = GridEncoding(2, stochastic_interpolation=True, **kw)
+    rng = np.random.default_rng(1)
+    params = jnp.asarray(rng.uniform(-1, 1, enc.n_params), jnp.float32)
+    x = jnp.asarray(rng.uniform(0.1, 0.9, (32, 2)), jnp.float32)
+
+    def loss(p):
+        # max_level=0.5, L=4: levels 0..2 survive, level 3 clamped
+        return jnp.sum(
+            enc.apply_unpadded(p, x, compute_dtype=jnp.float32, max_level=0.5)
+        )
+
+    g = np.asarray(jax.grad(loss)(params))
+    F = enc.n_features_per_level
+    off3 = int(enc._offsets[3]) * F
+    assert np.all(g[off3:] == 0.0), "clamped level 3 must get zero grads"
+    # surviving levels still receive gradient mass (B per level-feature)
+    off2 = int(enc._offsets[2]) * F
+    assert g[off2:off3].sum() > 0
+
+
+def test_stochastic_corners_consistent_across_paths():
+    """ADVICE r1 (low): all stochastic implementations must draw the SAME
+    per-(sample, level) corner uniforms (one shared helper over the true
+    batch), so gradients don't change when dispatch switches path."""
+    from tcnn_tpu.ops.encodings.grid import stochastic_uniforms
+    from tcnn_tpu.ops.pallas.grid_kernel import stochastic_u_padded
+
+    u_ref = np.asarray(stochastic_uniforms(37, 5))
+    u_pad = np.asarray(stochastic_u_padded(37, 64, 5))
+    np.testing.assert_array_equal(u_ref, u_pad[:37])
+    assert np.all(u_pad[37:] >= 1.0)  # padded rows pick corner 0 harmlessly

@@ -176,3 +176,21 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(m.trainer.state["params"]), np.asarray(m2.trainer.state["params"])
     )
+
+
+def test_max_level_schedule_takes_effect_without_invalidate():
+    """ADVICE r1 (low): max_level is baked in at trace time; the jit cache
+    key must include it so a coarse-to-fine schedule (mutating
+    encoding.max_level between steps via update_hyperparams) actually
+    changes the compiled step - the reference treats max_level as a
+    per-launch runtime value (grid.h:236-240)."""
+    m = tc.create_from_config(2, 3, CONFIG)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (256, 2))
+
+    m.network.encoding.update_hyperparams({"max_level": 0.25})
+    out_coarse = np.asarray(m.trainer.forward(x)["output"], np.float32)
+    m.network.encoding.update_hyperparams({"max_level": 1.0})
+    out_full = np.asarray(m.trainer.forward(x)["output"], np.float32)
+    assert not np.allclose(out_coarse, out_full), (
+        "max_level change must re-trace the cached step"
+    )
