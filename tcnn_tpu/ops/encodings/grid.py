@@ -169,6 +169,7 @@ class GridEncoding(Encoding):
         self._scales = np.asarray(scales, dtype=np.float32)
         self._total_table_rows = offset
         self._kernel_plan_cache = ()  # unset sentinel
+        self._binned_split_cache = ()  # unset sentinel
 
     #: NetworkWithInputEncoding checks this to thread needs_input_grad
     supports_input_grad_opt = True
@@ -185,17 +186,31 @@ class GridEncoding(Encoding):
             from ..pallas.grid_kernel import plan_for
 
             self._kernel_plan_cache = plan_for(self)
-            if self._kernel_plan_cache is None and jax.default_backend() == "tpu":
-                from ...log import log_warning
-
-                log_warning(
-                    "GridEncoding config "
-                    f"(type={self.grid_type.value}, hash={self.hash_type.value}, "
-                    f"D={self.n_dims_to_encode}, rows={self._total_table_rows}) "
-                    "is not covered by the Pallas TPU kernels; falling back "
-                    "to the (much slower) XLA path."
-                )
         return self._kernel_plan_cache
+
+    def _binned_split(self):
+        """SplitPlan (dense prefix + binned large-table suffix) for configs
+        beyond the dense kernels' table cap, or None."""
+        if self._binned_split_cache == ():
+            from ..pallas.binned_kernel import split_plan_for
+
+            self._binned_split_cache = split_plan_for(self)
+        return self._binned_split_cache
+
+    def _warn_fallback(self):
+        if getattr(self, "_warned_fallback", False):
+            return
+        self._warned_fallback = True
+        if jax.default_backend() == "tpu":
+            from ...log import log_warning
+
+            log_warning(
+                "GridEncoding config "
+                f"(type={self.grid_type.value}, hash={self.hash_type.value}, "
+                f"D={self.n_dims_to_encode}, rows={self._total_table_rows}) "
+                "is not covered by the Pallas TPU kernels; falling back "
+                "to the (much slower) XLA path."
+            )
 
     # -- shape / params -----------------------------------------------------
     @property
@@ -303,10 +318,25 @@ class GridEncoding(Encoding):
                         compute_dtype
                     )
                     return self._mask_max_level(y, x.shape[0], max_level)
+            elif not needs_input_grad:
+                # tables beyond the dense kernels' VMEM cap: binned
+                # large-table path (binned_kernel.py)
+                split = self._binned_split()
+                if split is not None:
+                    from ..pallas.binned_kernel import grid_encode_split
+
+                    y = grid_encode_split(split, params, x).astype(
+                        compute_dtype
+                    )
+                    return self._mask_max_level(y, x.shape[0], max_level)
             if impl == "pallas":
                 raise NotImplementedError(
                     "grid config unsupported by the Pallas kernel"
                 )
+            if not needs_input_grad:
+                # (input-gradient requests legitimately use the XLA path
+                # unless fast_input_grads is set - don't warn for those)
+                self._warn_fallback()
         if self.stochastic_interpolation:
             return self._apply_stochastic(
                 params, x, compute_dtype, max_level,

@@ -1,0 +1,645 @@
+"""Binned Pallas kernels for LARGE grid-encoding hash tables.
+
+Breaks the O(batch x total_table_rows) wall of the dense one-hot
+formulation (grid_kernel.py), which caps out around 1.5M table rows - far
+below the reference's DEFAULT config (log2_hashmap_size=19, i.e. ~5.6M rows
+in 2D / ~7M in 3D, /root/reference/README.md:28-41, grid.h:1148-1160).
+
+Idea: a matmul-native counting sort. Each level's table is split into S
+superblocks of R rows. For every batch tile, picks (sample x corner) are
+binned by superblock with an exact, deterministic, fully lane/MXU-friendly
+pipeline - no sort primitive, no atomics, no data-dependent shapes:
+
+  A (bin):    per (tile, level): superblock key k = idx >> log2(R); the
+              rank of each pick within its (subchunk, k) bin is computed
+              with elementwise [256, 256] compare/reduce networks
+              (duplicate indices are DEDUPLICATED: they share one slot, so
+              degenerate inputs cannot overflow); first-occurrence picks
+              place their row-in-superblock index into a [S, cap] slab via
+              a one-hot x rank-one-hot placement matmul.
+  B (gather): per (level, superblock): the slab's <= n_tiles*cap compact
+              slots gather from the R-row table block with a transposed
+              one-hot matmul + 128-lane pick; cost O(slots x R) instead of
+              O(batch x t_rows).
+  C (combine):per tile: each pick reads its slot's feature via a
+              [G, S] x [S, cap*F] matmul + rank-lane pick, applies its
+              interpolation weight, and reduces corners.
+  P (place):  backward analog of A's placement: per-pick w * dL/dy values
+              are summed into the slabs (duplicates ADD, exactly).
+  B' (scatter): per (level, superblock): slab values scatter-add into the
+              gradient block with the transposed one-hot matmul.
+
+Cost per level per direction ~ O(batch*C*(S + cap*F)) for binning/combine
+plus O(n_tiles*cap*S * R) ~= O(batch*C*R*waste) for the block matmuls -
+vs O(batch*C*t_rows) dense. For t_rows=2^19 that is a ~40x MXU reduction.
+
+Exactness: deterministic always. Overflow (more than `cap` DISTINCT table
+rows hashed into one superblock by one tile's picks) drops that pick's
+contribution; with cap=48 against a Poisson(16) bin load this happens with
+probability ~2e-11 per bin (~1e-5 per step at batch 2^18) - far below the
+reference's own atomicAdd float-nondeterminism, and duplicates (the
+realistic concentration case) never overflow thanks to dedup. The XLA
+oracle remains available via GridEncoding(impl="xla").
+
+Reference semantics carried over exactly: grid_index / hash / uint32
+wraparound and interpolation-weight math are the SAME routines as the
+dense kernels (grid_kernel._positions / _corner_indices_and_weights),
+cited to common_device.h:631-718 and grid.h:48-320.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import grid_kernel as gk
+
+LANE = 128
+#: smallest per-level table size the binned path accepts (below this the
+#: dense VMEM-resident one-hot kernels win)
+MIN_BINNED_ROWS = 1 << 14
+
+
+@dataclasses.dataclass(frozen=True)
+class BinnedPlan:
+    """Plan for the binned path over a SUFFIX of equal-size levels.
+
+    `sub` is a GridKernelPlan covering ONLY the binned levels (their packed
+    table layout [NL*h, 128*F] is reused for repack/unpack), with
+    level-local row offsets.
+    """
+
+    sub: gk.GridKernelPlan
+    t_rows: int  # per-level table rows (identical across binned levels)
+    s: int  # superblocks per level
+    r_blocks: int  # 128-row blocks per superblock (R = r_blocks*128)
+    cap: int  # slots per (tile, superblock)
+    nt: int  # samples per batch tile (G = C*nt picks)
+
+    @property
+    def n_levels(self):
+        return self.sub.n_levels
+
+    @property
+    def f(self):
+        return self.sub.f
+
+    @property
+    def g(self):  # picks per tile
+        return self.sub.n_corners * self.nt
+
+    @property
+    def log2_r(self):
+        return (self.r_blocks * LANE).bit_length() - 1
+
+
+def make_binned_plan(sub: gk.GridKernelPlan, t_rows: int) -> BinnedPlan | None:
+    """Size the binned pipeline for equal-size (power-of-two) levels."""
+    if t_rows < MIN_BINNED_ROWS or (t_rows & (t_rows - 1)) != 0:
+        return None
+    s = 128
+    r_blocks = t_rows // (s * LANE)
+    c = sub.n_corners
+    nt = max(2048 // c, 64)
+    g = c * nt
+    if g % 256 != 0:
+        return None
+    # lambda = G / S picks per (tile, superblock); cap covers a >13-sigma
+    # Poisson tail (see module docstring)
+    lam = max(g // s, 1)
+    cap = min(2 * lam + 16, 127)
+    return BinnedPlan(sub=sub, t_rows=t_rows, s=s, r_blocks=r_blocks,
+                     cap=cap, nt=nt)
+
+
+@dataclasses.dataclass(frozen=True)
+class SplitPlan:
+    """Dense-kernel prefix + binned suffix covering a full GridEncoding."""
+
+    dense: gk.GridKernelPlan | None  # levels [0, l0) - VMEM one-hot kernels
+    binned: BinnedPlan  # levels [l0, L) - equal-size large tables
+    n_prefix_params: int
+
+
+def split_plan_for(enc) -> SplitPlan | None:
+    """Split an encoding into (dense prefix, binned suffix), or None.
+
+    The binned suffix is the maximal run of trailing levels whose table
+    size equals the max size (for HashGrid: every level that hit the
+    2^log2_hashmap_size cap, grid.h:685-730) - identical power-of-two
+    sizes are what lets one (level, superblock) grid serve them all."""
+    if enc.stochastic_interpolation:
+        return None  # single-corner binned scatter: not yet implemented
+    sizes = [int(s) for s in enc._sizes[: enc.n_levels]]
+    max_size = max(sizes)
+    if max_size < MIN_BINNED_ROWS or (max_size & (max_size - 1)) != 0:
+        return None
+    l0 = enc.n_levels
+    while l0 > 0 and sizes[l0 - 1] == max_size:
+        l0 -= 1
+    if l0 >= enc.n_levels:
+        return None
+    sub = gk.build_plan(enc, l0, enc.n_levels)
+    if sub is None:
+        return None
+    bp = make_binned_plan(sub, max_size)
+    if bp is None:
+        return None
+    dense = None
+    if l0 > 0:
+        dense = gk.build_plan(enc, 0, l0)
+        if dense is None or dense.h_total * LANE > gk.MAX_TABLE_ROWS:
+            return None
+    return SplitPlan(
+        dense=dense,
+        binned=bp,
+        n_prefix_params=int(enc._offsets[l0]) * enc.n_features_per_level,
+    )
+
+
+def grid_encode_split(split: SplitPlan, params, x):
+    """Full-encoding forward through dense-prefix + binned-suffix kernels;
+    output columns are level-major (prefix levels first), matching the
+    public layout."""
+    n_pre = split.n_prefix_params
+    parts = []
+    if split.dense is not None:
+        parts.append(gk.grid_encode_pallas(split.dense, params[:n_pre], x))
+    parts.append(grid_encode_binned(split.binned, params[n_pre:], x))
+    if len(parts) == 1:
+        return parts[0]
+    return jnp.concatenate(parts, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Kernel A: bin picks -> slabs (hi5+1, lo7) + per-pick ranks
+# ---------------------------------------------------------------------------
+
+
+_SUB = 256  # ranking subchunk size (rank values stay bf16/f32-exact)
+
+
+def _per_subchunk_rows(row_vals, n_sub):
+    """[1, G] -> [G, 256]: row block c broadcasts row_vals's subchunk-c
+    slice, so every pick row sees its OWN subchunk's values in lanes.
+    (The whole-G formulation keeps the VPU at full [2048, 256] tiles - the
+    per-subchunk [256, *] version spent most of its time in op dispatch
+    and tiny XLU transposes: 104 ms -> see git history.)"""
+    return jnp.concatenate(
+        [
+            jnp.broadcast_to(row_vals[:, c * _SUB : (c + 1) * _SUB],
+                             (_SUB, _SUB))
+            for c in range(n_sub)
+        ],
+        axis=0,
+    )
+
+
+def _rank_level(idx_col, idx_row_l, onehot_k, n_sub, q_row, pos, key_shift):
+    """Dedup-aware slot ranks for ALL picks of one level at once.
+
+    idx_col [G, 1] i32; idx_row_l [1, G] i32 (same values, row form);
+    onehot_k [G, S] f32; q_row [G, 256] f32 (lane position iota);
+    pos [G, 1] f32 (own position within subchunk).
+    Returns (rank [G, 1] f32, first [G, 1] f32).
+
+    Picks compare only against their own 256-pick subchunk. Duplicates of
+    the same table row share the slot opened by their FIRST occurrence, so
+    a degenerate batch (all samples in one cell) uses 1 slot instead of
+    overflowing. Elementwise only - no matmuls, no per-subchunk loops.
+    """
+    g = idx_col.shape[0]
+    rhs_idx = _per_subchunk_rows(idx_row_l, n_sub)  # [G, 256]
+    eq = (idx_col == rhs_idx).astype(jnp.float32)
+    # position of each pick's representative (first occurrence of its idx)
+    qmin = jnp.min(jnp.where(eq > 0, q_row, float(_SUB)), axis=1,
+                   keepdims=True)
+    first = (qmin == pos).astype(jnp.float32)  # [G, 1]
+    # rank = number of slots (first occurrences with the same superblock
+    # key - equal idx implies equal key, so compare keys of the rhs rows)
+    # opened strictly before the representative
+    keq = ((idx_col >> key_shift) == (rhs_idx >> key_shift)).astype(
+        jnp.float32
+    )
+    before = (q_row < qmin).astype(jnp.float32)
+    open_rhs = _per_subchunk_rows(jnp.transpose(first), n_sub)  # [G, 256]
+    r = jnp.sum(before * keq * open_rhs, axis=1, keepdims=True)  # [G, 1]
+    # cross-subchunk slot offsets: exclusive cumsum of per-subchunk
+    # distinct counts
+    s = onehot_k.shape[1]
+    fc = (onehot_k * first).reshape(n_sub, _SUB, s)
+    counts = jnp.sum(fc, axis=1)  # [n_sub, S]
+    # exclusive prefix sum over <= 8 subchunk rows (Mosaic has no cumsum)
+    off_rows, run = [], jnp.zeros((1, s), jnp.float32)
+    for c in range(n_sub):
+        off_rows.append(run)
+        run = run + counts[c : c + 1, :]
+    offs = jnp.concatenate(off_rows, axis=0)  # [n_sub, S]
+    offset_rhs = jnp.broadcast_to(offs[:, None, :], (n_sub, _SUB, s)).reshape(
+        g, s
+    )
+    off_p = jnp.sum(onehot_k * offset_rhs, axis=1, keepdims=True)
+    return r + off_p, first
+
+
+def _stacked_level_indices(bp: BinnedPlan, x, cr):
+    """Corner-stacked per-level indices and weights: idx [G, NL] i32,
+    cw [G, NL] f32 (or None for Nearest). Same pick ordering (corner-major)
+    everywhere (A, C, P)."""
+    sub = bp.sub
+    cells, w = gk._positions(sub, x, cr)
+    per_corner = gk._corner_indices_and_weights(sub, cells, w, cr)
+    idx = jnp.concatenate([i for i, _ in per_corner], axis=0)  # [G, NL]
+    if per_corner[0][1] is None:
+        return idx, None
+    cw = jnp.concatenate([c for _, c in per_corner], axis=0)
+    return idx, cw
+
+
+def _bin_kernel(x_ref, *rest, bp: BinnedPlan):
+    const_refs = rest[: len(gk._CONST_NAMES)]
+    sh_ref, sl_ref, rk_ref = rest[len(gk._CONST_NAMES):]
+    cr = {n: ref[:] for n, ref in zip(gk._CONST_NAMES, const_refs)}
+    NL, S, cap, G = bp.n_levels, bp.s, bp.cap, bp.g
+
+    idx_all, _ = _stacked_level_indices(bp, x_ref[:], cr)
+    idx_all_t = jnp.transpose(idx_all)  # [NL, G] - ONE transpose per tile
+    k_all = idx_all >> bp.log2_r  # [G, NL] superblock keys
+    lo_all = idx_all & (bp.r_blocks * LANE - 1)
+    hi5_all = lo_all >> 7
+    lo7_all = lo_all & (LANE - 1)
+
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
+    iota_cap = jax.lax.broadcasted_iota(jnp.int32, (G, cap), 1)
+    n_sub = G // _SUB
+    q_row = jax.lax.broadcasted_iota(jnp.int32, (G, _SUB), 1).astype(
+        jnp.float32
+    )
+    pos = (
+        jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0) & (_SUB - 1)
+    ).astype(jnp.float32)
+
+    sh_rows, sl_rows, rk_cols = [], [], []
+    for l in range(NL):
+        idx_col = idx_all[:, l : l + 1]
+        k_col = k_all[:, l : l + 1]
+        onehot_k = (k_col == iota_s).astype(jnp.float32)  # [G, S]
+        rank_col, first_col = _rank_level(
+            idx_col, idx_all_t[l : l + 1, :], onehot_k, n_sub, q_row, pos,
+            bp.log2_r,
+        )
+        rk_cols.append(rank_col.astype(jnp.int32))
+
+        # placement: first occurrences write (hi5+1) and lo7 into their
+        # (k, rank) slot; rank >= cap (overflow) has no one-hot column and
+        # is dropped (see module docstring for the probability bound)
+        ohrank = (rank_col.astype(jnp.int32) == iota_cap).astype(jnp.float32)
+        ohrank_first = (ohrank * first_col).astype(jnp.bfloat16)
+        ok_bf = onehot_k.astype(jnp.bfloat16)
+        hvals = (hi5_all[:, l : l + 1] + 1).astype(jnp.bfloat16)
+        lvals = lo7_all[:, l : l + 1].astype(jnp.bfloat16)
+        ph = jax.lax.dot_general(
+            ok_bf, ohrank_first * hvals,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [S, cap]
+        plo = jax.lax.dot_general(
+            ok_bf, ohrank_first * lvals,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        sh_rows.append(ph.astype(jnp.bfloat16))
+        sl_rows.append(plo.astype(jnp.bfloat16))
+
+    sh_ref[0] = jnp.concatenate(sh_rows, axis=0)  # [NL*S, cap]
+    sl_ref[0] = jnp.concatenate(sl_rows, axis=0)
+    rk_ref[:] = jnp.concatenate(rk_cols, axis=1)  # [G, NL]
+
+
+def _bin_call(bp: BinnedPlan, x):
+    n_tiles = x.shape[0] // bp.nt
+    NL, S, cap, G = bp.n_levels, bp.s, bp.cap, bp.g
+    consts = gk._plan_constants(bp.sub)
+    return pl.pallas_call(
+        functools.partial(_bin_kernel, bp=bp),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((bp.nt, x.shape[1]), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        + gk._const_specs(consts),
+        out_specs=[
+            pl.BlockSpec((1, NL * S, cap), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NL * S, cap), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, NL), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, NL * S, cap), jnp.bfloat16),
+            jax.ShapeDtypeStruct((n_tiles, NL * S, cap), jnp.bfloat16),
+            jax.ShapeDtypeStruct((n_tiles * G, NL), jnp.int32),
+        ],
+        compiler_params=gk._VMEM_LIMIT,
+    )(x, *gk._const_args(consts))
+
+
+# ---------------------------------------------------------------------------
+# Kernel B: per-(level, superblock) compact gather from the table block
+# ---------------------------------------------------------------------------
+
+
+def _gather_kernel(sh_ref, sl_ref, tbl_ref, o_ref, *, bp: BinnedPlan,
+                   n_tiles: int):
+    F, cap, rb = bp.f, bp.cap, bp.r_blocks
+    sh = sh_ref[0]  # [n_tiles, cap] bf16 (hi5+1; 0 = empty)
+    slo = sl_ref[0]
+    tbl = tbl_ref[0]  # [rb, 128*F] bf16
+    hT = jnp.transpose(sh.astype(jnp.float32))  # [cap, n_tiles]
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (rb, n_tiles), 0).astype(
+        jnp.float32
+    )
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, LANE), 1).astype(
+        jnp.float32
+    )
+
+    cols = [[] for _ in range(F)]
+    for j in range(cap):
+        ohT = (iota_r == hT[j : j + 1, :] - 1.0).astype(jnp.bfloat16)
+        picked = jax.lax.dot_general(
+            ohT, tbl,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [n_tiles, 128*F]
+        ohlo = (slo[:, j : j + 1].astype(jnp.float32) == lane_iota).astype(
+            jnp.float32
+        )
+        for f in range(F):
+            cols[f].append(
+                jnp.sum(picked[:, f * LANE : (f + 1) * LANE] * ohlo,
+                        axis=1, keepdims=True)
+            )
+    out = jnp.concatenate(sum(cols, []), axis=1)  # [n_tiles, F*cap] f-major
+    o_ref[0] = out.astype(jnp.bfloat16)
+
+
+def _gather_call(bp: BinnedPlan, sh, sl, table_packed):
+    """sh/sl arrive tile-major [n_tiles, NL*S, cap] from kernel A; the
+    (l,s)-major relayout the gather grid needs is an XLA transpose (the
+    TPU block-shape rules only allow slicing LEADING dims at size 1)."""
+    n_tiles = sh.shape[0]
+    NL, S, cap, F, rb = bp.n_levels, bp.s, bp.cap, bp.f, bp.r_blocks
+    sh_t = jnp.swapaxes(sh, 0, 1)  # [NL*S, n_tiles, cap]
+    sl_t = jnp.swapaxes(sl, 0, 1)
+    tbl3 = table_packed.reshape(NL * S, rb, LANE * F)
+    return pl.pallas_call(
+        functools.partial(_gather_kernel, bp=bp, n_tiles=n_tiles),
+        grid=(NL, S),
+        in_specs=[
+            pl.BlockSpec((1, n_tiles, cap), lambda l, s: (l * S + s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_tiles, cap), lambda l, s: (l * S + s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rb, LANE * F), lambda l, s: (l * S + s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_tiles, F * cap),
+                               lambda l, s: (l * S + s, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NL * S, n_tiles, F * cap),
+                                       jnp.bfloat16),
+        compiler_params=gk._VMEM_LIMIT,
+    )(sh_t, sl_t, tbl3)
+
+
+# ---------------------------------------------------------------------------
+# Kernel C: per-tile combine (read slots, weight, reduce corners)
+# ---------------------------------------------------------------------------
+
+
+def _combine_kernel(x_ref, rk_ref, feats_ref, *rest, bp: BinnedPlan):
+    const_refs, y_ref = rest[:-1], rest[-1]
+    cr = {n: ref[:] for n, ref in zip(gk._CONST_NAMES, const_refs)}
+    NL, S, cap, F, G = bp.n_levels, bp.s, bp.cap, bp.f, bp.g
+    C, nt = bp.sub.n_corners, bp.nt
+
+    idx_all, cw_all = _stacked_level_indices(bp, x_ref[:], cr)
+    k_all = idx_all >> bp.log2_r
+    ranks = rk_ref[:]  # [G, NL] i32
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
+    iota_cap = jax.lax.broadcasted_iota(jnp.int32, (G, cap), 1)
+
+    cols = []
+    for l in range(NL):
+        onehot_k = (k_all[:, l : l + 1] == iota_s).astype(jnp.bfloat16)
+        feats_l = feats_ref[0, l * S : (l + 1) * S, :]  # [S, F*cap] bf16
+        tmp = jnp.dot(onehot_k, feats_l,
+                      preferred_element_type=jnp.float32)  # [G, F*cap]
+        ohrank = (ranks[:, l : l + 1] == iota_cap).astype(jnp.float32)
+        for f in range(F):
+            v = jnp.sum(tmp[:, f * cap : (f + 1) * cap] * ohrank,
+                        axis=1, keepdims=True)  # [G, 1]
+            if cw_all is not None:
+                v = v * cw_all[:, l : l + 1]
+            cols.append(v)
+    picked = jnp.concatenate(cols, axis=1)  # [G, NL*F] l-major f-minor
+    y_ref[:] = picked.reshape(C, nt, NL * F).sum(axis=0).astype(y_ref.dtype)
+
+
+def _combine_call(bp: BinnedPlan, x, ranks, feats):
+    n_tiles = x.shape[0] // bp.nt
+    feats = jnp.swapaxes(feats, 0, 1)  # -> tile-major [n_tiles, NL*S, F*cap]
+    NL, S, cap, F, G = bp.n_levels, bp.s, bp.cap, bp.f, bp.g
+    consts = gk._plan_constants(bp.sub)
+    return pl.pallas_call(
+        functools.partial(_combine_kernel, bp=bp),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((bp.nt, x.shape[1]), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, NL), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NL * S, F * cap), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        + gk._const_specs(consts),
+        out_specs=pl.BlockSpec((bp.nt, NL * F), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], NL * F), jnp.bfloat16),
+        compiler_params=gk._VMEM_LIMIT,
+    )(x, ranks, feats, *gk._const_args(consts))
+
+
+# ---------------------------------------------------------------------------
+# Kernel P: backward value placement (w * dL/dy summed into slabs)
+# ---------------------------------------------------------------------------
+
+
+def _place_kernel(x_ref, rk_ref, gy_ref, *rest, bp: BinnedPlan):
+    const_refs, sv_ref = rest[:-1], rest[-1]
+    cr = {n: ref[:] for n, ref in zip(gk._CONST_NAMES, const_refs)}
+    NL, S, cap, F, G = bp.n_levels, bp.s, bp.cap, bp.f, bp.g
+    C = bp.sub.n_corners
+
+    idx_all, cw_all = _stacked_level_indices(bp, x_ref[:], cr)
+    k_all = idx_all >> bp.log2_r
+    ranks = rk_ref[:]
+    gy = gy_ref[:].astype(jnp.float32)  # [nt, NL*F] l-major f-minor
+    gy_c = jnp.concatenate([gy] * C, axis=0)  # [G, NL*F]
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
+    iota_cap = jax.lax.broadcasted_iota(jnp.int32, (G, cap), 1)
+
+    rows = []
+    for l in range(NL):
+        ok_bf = (k_all[:, l : l + 1] == iota_s).astype(jnp.bfloat16)
+        ohrank = (ranks[:, l : l + 1] == iota_cap).astype(jnp.float32)
+        per_f = []
+        for f in range(F):
+            v = gy_c[:, l * F + f : l * F + f + 1]
+            if cw_all is not None:
+                v = v * cw_all[:, l : l + 1]
+            rhs = (ohrank * v).astype(jnp.bfloat16)  # [G, cap]
+            per_f.append(
+                jax.lax.dot_general(
+                    ok_bf, rhs,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [S, cap] - duplicate picks ADD here, exactly
+            )
+        rows.append(jnp.concatenate(per_f, axis=1))  # [S, F*cap]
+    sv_ref[0] = jnp.concatenate(rows, axis=0).astype(jnp.float32)
+
+
+def _place_call(bp: BinnedPlan, x, ranks, gy):
+    n_tiles = x.shape[0] // bp.nt
+    NL, S, cap, F, G = bp.n_levels, bp.s, bp.cap, bp.f, bp.g
+    consts = gk._plan_constants(bp.sub)
+    return pl.pallas_call(
+        functools.partial(_place_kernel, bp=bp),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((bp.nt, x.shape[1]), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, NL), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp.nt, NL * F), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        + gk._const_specs(consts),
+        out_specs=pl.BlockSpec((1, NL * S, F * cap), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, NL * S, F * cap),
+                                       jnp.float32),
+        compiler_params=gk._VMEM_LIMIT,
+    )(x, ranks, gy, *gk._const_args(consts))
+
+
+# ---------------------------------------------------------------------------
+# Kernel B': per-(level, superblock) compact scatter into gradient blocks
+# ---------------------------------------------------------------------------
+
+
+def _scatter_kernel(sh_ref, sl_ref, sv_ref, o_ref, *, bp: BinnedPlan,
+                    n_tiles: int):
+    F, cap, rb = bp.f, bp.cap, bp.r_blocks
+    sh = sh_ref[0]  # [n_tiles, cap]
+    slo = sl_ref[0]
+    sv = sv_ref[0]  # [n_tiles, F*cap] f32
+    hT = jnp.transpose(sh.astype(jnp.float32))  # [cap, n_tiles]
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (rb, n_tiles), 0).astype(
+        jnp.float32
+    )
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, LANE), 1).astype(
+        jnp.float32
+    )
+
+    acc = jnp.zeros((rb, LANE * F), jnp.float32)
+    for j in range(cap):
+        ohT = (iota_r == hT[j : j + 1, :] - 1.0).astype(jnp.bfloat16)
+        ohlo = (slo[:, j : j + 1].astype(jnp.float32) == lane_iota).astype(
+            jnp.float32
+        )
+        rhs = jnp.concatenate(
+            [ohlo * sv[:, f * cap + j : f * cap + j + 1] for f in range(F)],
+            axis=1,
+        ).astype(jnp.bfloat16)  # [n_tiles, 128*F]
+        acc = acc + jnp.dot(ohT, rhs, preferred_element_type=jnp.float32)
+    o_ref[0] = acc
+
+
+def _scatter_call(bp: BinnedPlan, sh, sl, sv):
+    n_tiles = sh.shape[0]
+    NL, S, cap, F, rb = bp.n_levels, bp.s, bp.cap, bp.f, bp.r_blocks
+    sh_t = jnp.swapaxes(sh, 0, 1)  # [NL*S, n_tiles, cap]
+    sl_t = jnp.swapaxes(sl, 0, 1)
+    sv_t = jnp.swapaxes(sv, 0, 1)
+    out = pl.pallas_call(
+        functools.partial(_scatter_kernel, bp=bp, n_tiles=n_tiles),
+        grid=(NL, S),
+        in_specs=[
+            pl.BlockSpec((1, n_tiles, cap), lambda l, s: (l * S + s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_tiles, cap), lambda l, s: (l * S + s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_tiles, F * cap),
+                         lambda l, s: (l * S + s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rb, LANE * F),
+                               lambda l, s: (l * S + s, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NL * S, rb, LANE * F), jnp.float32),
+        compiler_params=gk._VMEM_LIMIT,
+    )(sh_t, sl_t, sv_t)
+    return out.reshape(NL * S * rb, LANE * F)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _binned(bp, n_params, params, x):
+    table_packed = gk.repack_table(bp.sub, params)
+    sh, sl, ranks = _bin_call(bp, x)
+    feats = _gather_call(bp, sh, sl, table_packed)
+    return _combine_call(bp, x, ranks, feats)
+
+
+def _binned_fwd(bp, n_params, params, x):
+    table_packed = gk.repack_table(bp.sub, params)
+    sh, sl, ranks = _bin_call(bp, x)
+    feats = _gather_call(bp, sh, sl, table_packed)
+    y = _combine_call(bp, x, ranks, feats)
+    return y, (x, sh, sl, ranks)
+
+
+def _binned_bwd(bp, n_params, res, gy):
+    x, sh, sl, ranks = res
+    sv = _place_call(bp, x, ranks, gy.astype(jnp.float32))
+    gpacked = _scatter_call(bp, sh, sl, sv)
+    # [NL*S*rb, 128F] -> the sub-plan's packed layout [NL*h, 128F] is the
+    # same array (h = S*rb), so unpack directly
+    gparams = gk.unpack_table_grads(bp.sub, gpacked, n_params)
+    # dL/dx intentionally zero (same contract as grid_encode_pallas)
+    return gparams, jnp.zeros_like(x)
+
+
+_binned.defvjp(_binned_fwd, _binned_bwd)
+
+
+def grid_encode_binned(bp: BinnedPlan, params, x):
+    """[B, D] fp32 -> [B, NL*F] bf16 for the binned (large-table) levels.
+    Pads the batch to the tile size and trims; backward produces table
+    gradients only."""
+    b = x.shape[0]
+    nt = bp.nt
+    padded = -(-b // nt) * nt
+    if padded != b:
+        x = jnp.pad(x, ((0, padded - b), (0, 0)))
+    y = _binned(bp, int(params.shape[0]), params, x)
+    return y[:b]

@@ -110,9 +110,28 @@ class GridKernelPlan:
 
 def plan_for(enc) -> GridKernelPlan | None:
     """Build a kernel plan for a GridEncoding, or None if unsupported."""
+    plan = build_plan(enc, 0, enc.n_levels)
+    if plan is None:
+        return None
+    packed_bytes = plan.h_total * LANE * plan.f * 2
+    if packed_bytes > MAX_PACKED_TABLE_BYTES:
+        return None
+    if plan.h_total * LANE > MAX_TABLE_ROWS:
+        return None
+    return plan
+
+
+def build_plan(enc, lvl_lo: int, lvl_hi: int) -> GridKernelPlan | None:
+    """Kernel plan covering levels [lvl_lo, lvl_hi) of a GridEncoding with
+    LOCAL parameter offsets (for use on a slice of the param vector).
+    Applies per-level support checks only - size caps are the caller's
+    concern (plan_for enforces the dense-kernel VMEM caps; the binned path
+    has its own limits)."""
     if enc.hash_type == HashType.Rng:
         return None
     if enc.n_dims_to_encode not in (2, 3, 4):
+        return None
+    if lvl_hi <= lvl_lo:
         return None
     stochastic = bool(enc.stochastic_interpolation) and (
         enc.interpolation != InterpolationType.Nearest
@@ -122,7 +141,7 @@ def plan_for(enc) -> GridKernelPlan | None:
 
     levels = []
     h_total = 0
-    for lvl in range(enc.n_levels):
+    for lvl in range(lvl_lo, lvl_hi):
         size = int(enc._sizes[lvl])
         res = int(enc._resolutions[lvl])
         scale = float(enc._scales[lvl])
@@ -152,9 +171,10 @@ def plan_for(enc) -> GridKernelPlan | None:
         )
         h_total += h
 
-    plan = GridKernelPlan(
+    base = int(enc._offsets[lvl_lo])
+    return GridKernelPlan(
         d=enc.n_dims_to_encode,
-        n_levels=enc.n_levels,
+        n_levels=lvl_hi - lvl_lo,
         f=enc.n_features_per_level,
         h_total=h_total,
         levels=tuple(levels),
@@ -162,17 +182,11 @@ def plan_for(enc) -> GridKernelPlan | None:
             int(v) for v in _hash_factors(enc.hash_type, enc.n_dims_to_encode)
         ),
         interpolation=enc.interpolation,
-        offsets=tuple(int(o) for o in enc._offsets[: enc.n_levels]),
+        offsets=tuple(int(o) - base for o in enc._offsets[lvl_lo:lvl_hi]),
         # C*Nt-row intermediates: keep corners*tile <= 8192 rows (VMEM)
         batch_tile=1024 if enc.n_dims_to_encode < 4 else 512,
         stochastic=stochastic,
     )
-    packed_bytes = plan.h_total * LANE * plan.f * 2
-    if packed_bytes > MAX_PACKED_TABLE_BYTES:
-        return None
-    if plan.h_total * LANE > MAX_TABLE_ROWS:
-        return None
-    return plan
 
 
 # ---------------------------------------------------------------------------
