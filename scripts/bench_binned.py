@@ -20,14 +20,16 @@ def _sync(r):
     np.asarray(leaf.reshape(-1)[:1])
 
 
-def timeit(fn, *args, iters=10):
+def timeit(fn, *args, iters=20):
+    # amortized: async-dispatch all iters, ONE sync at the end (the tunnel
+    # D2H round-trip is ~30 ms - syncing per-iter would swamp the signal)
     r = fn(*args)
     _sync(r)
     t0 = time.perf_counter()
     for _ in range(iters):
         r = fn(*args)
-        _sync(r)
-    return (time.perf_counter() - t0) / iters, r
+    _sync(r)
+    return (time.perf_counter() - t0 - 0.03) / iters, r
 
 
 def check_small():

@@ -356,6 +356,13 @@ def _bin_call(bp: BinnedPlan, x):
 
 def _gather_kernel(sh_ref, sl_ref, tbl_ref, o_ref, *, bp: BinnedPlan,
                    n_tiles: int):
+    """One (level, superblock): gather all slots' table rows.
+
+    The per-slot one-hots for ALL cap slot columns are lane-concatenated
+    into ONE [rb, cap*n_tiles] matrix so the gather is a single deep
+    matmul (48 small serial matmuls measured ~4x slower). Slot rows come
+    out j-major; a reshape+transpose (both Mosaic-supported) restores the
+    [n_tiles, F*cap] output layout."""
     F, cap, rb = bp.f, bp.cap, bp.r_blocks
     sh = sh_ref[0]  # [n_tiles, cap] bf16 (hi5+1; 0 = empty)
     slo = sl_ref[0]
@@ -364,27 +371,40 @@ def _gather_kernel(sh_ref, sl_ref, tbl_ref, o_ref, *, bp: BinnedPlan,
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (rb, n_tiles), 0).astype(
         jnp.float32
     )
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, LANE), 1).astype(
-        jnp.float32
-    )
+    # j-chunks bound the [jc*n_tiles, 128F] picked intermediate to ~4 MB
+    jc = max(1, min(cap, 4096 // n_tiles))
+    lane_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (jc * n_tiles, LANE), 1
+    ).astype(jnp.float32)
 
     cols = [[] for _ in range(F)]
-    for j in range(cap):
-        ohT = (iota_r == hT[j : j + 1, :] - 1.0).astype(jnp.bfloat16)
+    for j0 in range(0, cap, jc):
+        js = range(j0, min(j0 + jc, cap))
+        ohT = jnp.concatenate(
+            [
+                (iota_r == hT[j : j + 1, :] - 1.0).astype(jnp.bfloat16)
+                for j in js
+            ],
+            axis=1,
+        )  # [rb, jc*n_tiles] (j-major lanes)
         picked = jax.lax.dot_general(
             ohT, tbl,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [n_tiles, 128*F]
-        ohlo = (slo[:, j : j + 1].astype(jnp.float32) == lane_iota).astype(
-            jnp.float32
+        )  # [jc*n_tiles, 128*F] (j-major rows)
+        lo_all = jnp.concatenate(
+            [slo[:, j : j + 1].astype(jnp.float32) for j in js], axis=0
         )
+        ohlo = (lo_all == lane_iota[: len(js) * n_tiles]).astype(jnp.float32)
         for f in range(F):
-            cols[f].append(
-                jnp.sum(picked[:, f * LANE : (f + 1) * LANE] * ohlo,
+            v = jnp.sum(picked[:, f * LANE : (f + 1) * LANE] * ohlo,
                         axis=1, keepdims=True)
-            )
-    out = jnp.concatenate(sum(cols, []), axis=1)  # [n_tiles, F*cap] f-major
+            cols[f].append(
+                jnp.transpose(v.reshape(len(js), n_tiles))
+            )  # [n_tiles, jc]
+    out = jnp.concatenate(
+        [jnp.concatenate(cols[f], axis=1) for f in range(F)], axis=1
+    )
     o_ref[0] = out.astype(jnp.bfloat16)
 
 
@@ -552,21 +572,42 @@ def _scatter_kernel(sh_ref, sl_ref, sv_ref, o_ref, *, bp: BinnedPlan,
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (rb, n_tiles), 0).astype(
         jnp.float32
     )
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, LANE), 1).astype(
-        jnp.float32
-    )
+    # j-chunks: one K-deep matmul per chunk instead of cap small ones
+    jc = max(1, min(cap, 4096 // n_tiles))
+    lane_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (jc * n_tiles, LANE), 1
+    ).astype(jnp.float32)
 
     acc = jnp.zeros((rb, LANE * F), jnp.float32)
-    for j in range(cap):
-        ohT = (iota_r == hT[j : j + 1, :] - 1.0).astype(jnp.bfloat16)
-        ohlo = (slo[:, j : j + 1].astype(jnp.float32) == lane_iota).astype(
-            jnp.float32
-        )
-        rhs = jnp.concatenate(
-            [ohlo * sv[:, f * cap + j : f * cap + j + 1] for f in range(F)],
+    for j0 in range(0, cap, jc):
+        js = range(j0, min(j0 + jc, cap))
+        ohT = jnp.concatenate(
+            [
+                (iota_r == hT[j : j + 1, :] - 1.0).astype(jnp.bfloat16)
+                for j in js
+            ],
             axis=1,
-        ).astype(jnp.bfloat16)  # [n_tiles, 128*F]
-        acc = acc + jnp.dot(ohT, rhs, preferred_element_type=jnp.float32)
+        )  # [rb, jc*n_tiles]
+        lo_all = jnp.concatenate(
+            [slo[:, j : j + 1].astype(jnp.float32) for j in js], axis=0
+        )
+        ohlo = (lo_all == lane_iota[: len(js) * n_tiles]).astype(jnp.float32)
+        rhs = jnp.concatenate(
+            [
+                ohlo
+                * jnp.concatenate(
+                    [sv[:, f * cap + j : f * cap + j + 1] for j in js],
+                    axis=0,
+                )
+                for f in range(F)
+            ],
+            axis=1,
+        ).astype(jnp.bfloat16)  # [jc*n_tiles, 128*F]
+        acc = acc + jax.lax.dot_general(
+            ohT, rhs,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     o_ref[0] = acc
 
 
