@@ -88,9 +88,24 @@ def main():
     samples_per_sec = steps_per_sec * BATCH_SIZE
     final_loss = float(loss)
 
+    # inference throughput (same protocol: jitted forward, trimmed fp32 out)
+    xy_inf = jax.random.uniform(jax.random.PRNGKey(7), (BATCH_SIZE, 2))
+    trainer.state = state
+    xy = xy_inf
+    out = trainer.inference(xy)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(TIMED_STEPS):
+        out = trainer.inference(xy)
+        # chain iterations (defeats any transport-level result caching)
+        xy = xy_inf + out[:, :2] * 1e-30
+    jax.block_until_ready(out)
+    inf_samples_per_sec = TIMED_STEPS * BATCH_SIZE / (time.time() - t0)
+
     sys.stderr.write(
         f"# device={jax.devices()[0].device_kind} compile={compile_s:.1f}s "
-        f"steps/s={steps_per_sec:.1f} final_loss={final_loss:.3e}\n"
+        f"steps/s={steps_per_sec:.1f} final_loss={final_loss:.3e} "
+        f"inference_samples/s={inf_samples_per_sec:.3e}\n"
     )
     print(
         json.dumps(
@@ -99,6 +114,10 @@ def main():
                 "value": round(samples_per_sec, 1),
                 "unit": "samples/s",
                 "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 4),
+                "context": {
+                    "inference_samples_per_sec": round(inf_samples_per_sec, 1),
+                    "final_loss": final_loss,
+                },
             }
         )
     )

@@ -373,9 +373,9 @@ def _gather_kernel(sh_ref, sl_ref, tbl_ref, o_ref, *, bp: BinnedPlan,
     )
     # j-chunks bound the [jc*n_tiles, 128F] picked intermediate to ~4 MB
     jc = max(1, min(cap, 4096 // n_tiles))
-    lane_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (jc * n_tiles, LANE), 1
-    ).astype(jnp.float32)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, LANE), 1).astype(
+        jnp.float32
+    )
 
     cols = [[] for _ in range(F)]
     for j0 in range(0, cap, jc):
@@ -392,10 +392,18 @@ def _gather_kernel(sh_ref, sl_ref, tbl_ref, o_ref, *, bp: BinnedPlan,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [jc*n_tiles, 128*F] (j-major rows)
-        lo_all = jnp.concatenate(
-            [slo[:, j : j + 1].astype(jnp.float32) for j in js], axis=0
-        )
-        ohlo = (lo_all == lane_iota[: len(js) * n_tiles]).astype(jnp.float32)
+        # per-j lane one-hots built full-width THEN row-concatenated
+        # (row-concat of thin [N,1] columns at different lane offsets is a
+        # Mosaic internal error)
+        ohlo = jnp.concatenate(
+            [
+                (slo[:, j : j + 1].astype(jnp.float32) == lane_iota).astype(
+                    jnp.float32
+                )
+                for j in js
+            ],
+            axis=0,
+        )  # [jc*n_tiles, 128]
         for f in range(F):
             v = jnp.sum(picked[:, f * LANE : (f + 1) * LANE] * ohlo,
                         axis=1, keepdims=True)
@@ -574,9 +582,9 @@ def _scatter_kernel(sh_ref, sl_ref, sv_ref, o_ref, *, bp: BinnedPlan,
     )
     # j-chunks: one K-deep matmul per chunk instead of cap small ones
     jc = max(1, min(cap, 4096 // n_tiles))
-    lane_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (jc * n_tiles, LANE), 1
-    ).astype(jnp.float32)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, LANE), 1).astype(
+        jnp.float32
+    )
 
     acc = jnp.zeros((rb, LANE * F), jnp.float32)
     for j0 in range(0, cap, jc):
@@ -588,15 +596,18 @@ def _scatter_kernel(sh_ref, sl_ref, sv_ref, o_ref, *, bp: BinnedPlan,
             ],
             axis=1,
         )  # [rb, jc*n_tiles]
-        lo_all = jnp.concatenate(
-            [slo[:, j : j + 1].astype(jnp.float32) for j in js], axis=0
-        )
-        ohlo = (lo_all == lane_iota[: len(js) * n_tiles]).astype(jnp.float32)
+        # weighted lane one-hots built per (j, f) full-width then
+        # row/lane-concatenated (thin-column concat is a Mosaic error)
         rhs = jnp.concatenate(
             [
-                ohlo
-                * jnp.concatenate(
-                    [sv[:, f * cap + j : f * cap + j + 1] for j in js],
+                jnp.concatenate(
+                    [
+                        (
+                            slo[:, j : j + 1].astype(jnp.float32) == lane_iota
+                        ).astype(jnp.float32)
+                        * sv[:, f * cap + j : f * cap + j + 1]
+                        for j in js
+                    ],
                     axis=0,
                 )
                 for f in range(F)

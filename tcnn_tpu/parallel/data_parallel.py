@@ -85,10 +85,35 @@ class DataParallelTrainer:
 
             return jax.jit(step)
 
+        def ext_shard_fn(state, inputs, dL_doutput):
+            # external-gradient step (trainer.h:127-131): backward from a
+            # caller-provided dL_doutput instead of a loss
+            grads = trainer.external_grad_fn(
+                state["params"], inputs, dL_doutput
+            )
+            # external grads are unnormalized per-sample sums (the caller
+            # owns any normalization via dL_doutput) -> psum, not pmean
+            grads = jax.lax.psum(grads, axis_name)
+            opt_state, params = trainer.optimizer.step(
+                state["opt"], trainer.loss_scale, state["params"], grads
+            )
+            new_rng = jax.random.split(state["rng"])[0]
+            return {"params": params, "opt": opt_state, "rng": new_rng}
+
+        def ext_step(state, inputs, dL_doutput):
+            return jax.shard_map(
+                ext_shard_fn,
+                mesh=mesh,
+                in_specs=(P(), P(axis_name), P(axis_name)),
+                out_specs=P(),
+                check_vma=False,
+            )(state, inputs, dL_doutput)
+
         # pdf-less variant keeps pdf=None so the trainer can dispatch to the
         # fused training kernel inside the shard_map
         self._step = make_step(True)
         self._step_nopdf = make_step(False)
+        self._step_ext = jax.jit(ext_step)
         self._replicated = replicated
         self._batch_sharded = batch_sharded
         self._n_dev = n_dev
@@ -105,3 +130,10 @@ class DataParallelTrainer:
             return self._step_nopdf(state, inputs, targets)
         inputs, targets, pdf = self.shard_batch(inputs, targets, pdf)
         return self._step(state, inputs, targets, pdf)
+
+    def step_external(self, state, inputs, dL_doutput):
+        """Training step from a caller-provided dL_doutput (the reference's
+        external-gradient mode, trainer.h:127-131), batch-sharded with the
+        same pmean gradient reduction. Returns the new state (no loss)."""
+        inputs, dL_doutput = self.shard_batch(inputs, dL_doutput)
+        return self._step_ext(state, inputs, dL_doutput)

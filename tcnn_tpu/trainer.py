@@ -303,9 +303,29 @@ class Trainer:
         return data
 
     def deserialize(self, data: dict) -> None:
-        """Restore from `serialize` output (trainer.h:290-315)."""
-        params = array_from_json(data["params_binary"]).astype(np.float32)
-        self.set_params(params)
+        """Restore from `serialize` output (trainer.h:290-315).
+
+        Like the reference, accepts both "float" and "__half" snapshots
+        (trainer.h:292-305): a __half snapshot's raw little-endian fp16
+        buffer is upcast to the fp32 master params. The reference's raw
+        param buffer layout ([network weights..., encoding table...]) is
+        the same flat vector this Trainer uses."""
+        ptype = data.get("params_type", "float")
+        if ptype not in ("float", "__half"):
+            raise ValueError(
+                "Trainer: snapshot parameters must be of type float or __half"
+            )
+        blob = data["params_binary"]
+        if isinstance(blob, dict) and "data" in blob:
+            params = array_from_json(blob)  # dtype tag honored (f2 or f4)
+        elif isinstance(blob, (list, bytes, bytearray)):
+            # nlohmann::json binary_t round-tripped through text JSON is a
+            # plain little-endian byte list (gpu_memory_json.h:37-72)
+            dt = np.float16 if ptype == "__half" else np.float32
+            params = np.frombuffer(bytes(blob), dtype=dt)
+        else:
+            raise ValueError("unrecognized params_binary format")
+        self.set_params(np.asarray(params, np.float32))
         if "optimizer" in data and data["optimizer"] is not None:
             self.state["opt"] = tree_from_json(
                 data["optimizer"]["state"], self.state["opt"]

@@ -132,3 +132,89 @@ def test_gradient_allclose_across_shardings(devices):
     got = np.asarray(g_sharded)
     scale = max(np.abs(ref).max(), 1e-9)
     np.testing.assert_allclose(got / scale, ref / scale, atol=1e-5)
+
+
+def test_external_dL_doutput_matches_single_device(devices):
+    """DP external-gradient step (trainer.h:127-131): psum-reduced grads
+    must equal the single-device external path on the same global batch
+    (up to f32 summation order)."""
+    from jax.sharding import PartitionSpec as P
+
+    m = tc.create_from_config(2, 3, CFG)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (512, 2))
+    dl = jax.random.normal(
+        jax.random.PRNGKey(4), (512, m.network.padded_output_width)
+    ) * 1e-2
+
+    g_single = np.asarray(
+        m.trainer.external_grad_fn(m.trainer.params, x, dl)
+    )
+
+    mesh = create_mesh(devices)
+
+    def shard_fn(params, xx, ddl):
+        g = m.trainer.external_grad_fn(params, xx, ddl)
+        return jax.lax.psum(g, "data")
+
+    g_dp = np.asarray(
+        jax.jit(
+            jax.shard_map(
+                shard_fn, mesh=mesh,
+                in_specs=(P(), P("data"), P("data")), out_specs=P(),
+                check_vma=False,
+            )
+        )(m.trainer.params, x, dl)
+    )
+    scale = np.abs(g_single).max() + 1e-12
+    np.testing.assert_allclose(g_dp / scale, g_single / scale, atol=2e-5)
+
+    # and the step API runs + changes params
+    dp = DataParallelTrainer(m.trainer, mesh)
+    state = dp.replicate(m.trainer.state)
+    state = dp.step_external(state, x, dl)
+    assert not np.allclose(
+        np.asarray(state["params"]), np.asarray(m.trainer.params)
+    )
+
+
+def test_pdf_normalization_matches_single_device(devices):
+    """ADVICE r1: per-shard loss normalization + pmean must reproduce the
+    single-device 1/n_total semantics even for pdf-weighted and
+    Variance-style losses (gradients compared directly; post-Adam params
+    amplify f32 summation-order noise)."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = create_mesh(devices)
+    for otype in ["RelativeL2", "Variance", "CrossEntropy"]:
+        cfg = dict(CFG, loss={"otype": otype})
+        m = tc.create_from_config(2, 3, cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(5), (512, 2))
+        t = jnp.abs(_img(x)) + 0.05
+        pdf = jax.random.uniform(jax.random.PRNGKey(6), (512, 3)) + 0.5
+        rng = jax.random.PRNGKey(0)
+
+        loss_ref, g_ref = m.trainer.loss_and_grad_fn(
+            m.trainer.params, x, t, pdf, rng
+        )
+        g_ref = np.asarray(g_ref)
+
+        def shard_fn(params, xx, tt, pp):
+            lv, g = m.trainer.loss_and_grad_fn(params, xx, tt, pp, rng)
+            return jax.lax.pmean(lv, "data"), jax.lax.pmean(g, "data")
+
+        loss_dp, g_dp = jax.jit(
+            jax.shard_map(
+                shard_fn, mesh=mesh,
+                in_specs=(P(), P("data"), P("data"), P("data")),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+        )(m.trainer.params, x, t, pdf)
+        scale = np.abs(g_ref).max() + 1e-12
+        np.testing.assert_allclose(
+            np.asarray(g_dp) / scale, g_ref / scale, atol=2e-5,
+            err_msg=otype,
+        )
+        np.testing.assert_allclose(
+            float(loss_dp), float(loss_ref), rtol=1e-5, err_msg=otype
+        )

@@ -194,3 +194,36 @@ def test_max_level_schedule_takes_effect_without_invalidate():
     assert not np.allclose(out_coarse, out_full), (
         "max_level change must re-trace the cached step"
     )
+
+
+def test_reference_format_half_snapshot_roundtrip():
+    """trainer.h:290-315 parity: deserialize accepts a reference-style
+    snapshot with params_type "__half" and the raw byte-list binary layout
+    nlohmann produces in text JSON (gpu_memory_json.h:37-72)."""
+    m = tc.create_from_config(2, 3, CONFIG)
+    params = np.asarray(m.trainer.params)
+    half = params.astype(np.float16)
+
+    snapshot = {
+        "n_params": int(params.size),
+        "params_type": "__half",
+        "params_binary": list(half.tobytes()),  # nlohmann byte array
+    }
+    m2 = tc.create_from_config(2, 3, CONFIG)
+    m2.trainer.deserialize(snapshot)
+    np.testing.assert_array_equal(
+        np.asarray(m2.trainer.params), half.astype(np.float32)
+    )
+
+    # float-typed byte-list snapshot too
+    snap_f = {
+        "params_type": "float",
+        "params_binary": list(params.tobytes()),
+    }
+    m2.trainer.deserialize(snap_f)
+    np.testing.assert_array_equal(np.asarray(m2.trainer.params), params)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="float or __half"):
+        m2.trainer.deserialize({"params_type": "double", "params_binary": []})
