@@ -145,8 +145,8 @@ def split_plan_for(enc) -> SplitPlan | None:
     if l0 >= enc.n_levels:
         return None
     sub = gk.build_plan(enc, l0, enc.n_levels)
-    if sub is None:
-        return None
+    if sub is None or sub.ext_hash:
+        return None  # Rng-hash binned path not plumbed yet
     bp = make_binned_plan(sub, max_size)
     if bp is None:
         return None

@@ -96,6 +96,11 @@ class GridKernelPlan:
     #: single-randomly-chosen-corner gradient scatter (grid.h:284-299);
     #: the backward runs M=Nt matmuls instead of M=C*Nt - 2^D x cheaper
     stochastic: bool = False
+    #: HashType.Rng: the 64-step PCG32-advance hash (common_device.h:663-677)
+    #: is computed OUTSIDE the kernel (vectorized 16-bit-limb emulation in
+    #: ops/pcg32.py - elementwise, so XLA handles it fine; only the
+    #: gather/scatter needed Pallas) and passed in as a [Nt, C*L] input
+    ext_hash: bool = False
 
     @property
     def out_width(self):
@@ -127,8 +132,7 @@ def build_plan(enc, lvl_lo: int, lvl_hi: int) -> GridKernelPlan | None:
     Applies per-level support checks only - size caps are the caller's
     concern (plan_for enforces the dense-kernel VMEM caps; the binned path
     has its own limits)."""
-    if enc.hash_type == HashType.Rng:
-        return None
+    ext_hash = enc.hash_type == HashType.Rng
     if enc.n_dims_to_encode not in (2, 3, 4):
         return None
     if lvl_hi <= lvl_lo:
@@ -178,14 +182,20 @@ def build_plan(enc, lvl_lo: int, lvl_hi: int) -> GridKernelPlan | None:
         f=enc.n_features_per_level,
         h_total=h_total,
         levels=tuple(levels),
-        hash_factors=tuple(
-            int(v) for v in _hash_factors(enc.hash_type, enc.n_dims_to_encode)
+        hash_factors=(
+            (0,) * enc.n_dims_to_encode
+            if ext_hash
+            else tuple(
+                int(v)
+                for v in _hash_factors(enc.hash_type, enc.n_dims_to_encode)
+            )
         ),
         interpolation=enc.interpolation,
         offsets=tuple(int(o) - base for o in enc._offsets[lvl_lo:lvl_hi]),
         # C*Nt-row intermediates: keep corners*tile <= 8192 rows (VMEM)
         batch_tile=1024 if enc.n_dims_to_encode < 4 else 512,
         stochastic=stochastic,
+        ext_hash=ext_hash,
     )
 
 
@@ -194,30 +204,53 @@ def build_plan(enc, lvl_lo: int, lvl_hi: int) -> GridKernelPlan | None:
 # ---------------------------------------------------------------------------
 
 
+def _uniform_levels(plan: GridKernelPlan) -> bool:
+    """All levels the same 128-aligned size (the binned-suffix case)."""
+    s0 = plan.levels[0].size
+    return all(
+        lvl.size == s0 and lvl.h * LANE == s0 for lvl in plan.levels
+    )
+
+
 def repack_table(plan: GridKernelPlan, params):
     """flat fp32 [n_params] -> bf16 [H_total, 128*F]: row r of level l sits
     at packed[level.row_off + r // 128, r % 128 + f*128] for feature f."""
-    table = params.reshape(-1, plan.f)  # [total_rows, F]
+    F = plan.f
+    if _uniform_levels(plan):
+        # equal-size levels: ONE reshape+transpose (the per-level
+        # pad/concat graph below took XLA ~minutes to compile at 10x2^19)
+        nl, h = plan.n_levels, plan.levels[0].h
+        t = params.reshape(nl * h, LANE, F)
+        return (
+            jnp.swapaxes(t, 1, 2).reshape(nl * h, F * LANE)
+            .astype(jnp.bfloat16)
+        )
+    table = params.reshape(-1, F)  # [total_rows, F]
     per_level = []
     for lvl, level in enumerate(plan.levels):
         off = plan.offsets[lvl]
         rows = table[off : off + level.size]  # [size, F]
         rows = jnp.pad(rows, ((0, level.h * LANE - level.size), (0, 0)))
-        blocks = rows.reshape(level.h, LANE, plan.f)  # [H, 128, F]
+        blocks = rows.reshape(level.h, LANE, F)  # [H, 128, F]
         per_level.append(
-            jnp.concatenate([blocks[:, :, f] for f in range(plan.f)], axis=1)
+            jnp.concatenate([blocks[:, :, f] for f in range(F)], axis=1)
         )  # [H, 128*F]
     return jnp.concatenate(per_level, axis=0).astype(jnp.bfloat16)
 
 
 def unpack_table_grads(plan: GridKernelPlan, packed, n_params: int):
     """[H_total, 128*F] f32 -> flat fp32 [n_params]."""
+    F = plan.f
+    if _uniform_levels(plan):
+        nl, h = plan.n_levels, plan.levels[0].h
+        t = packed.reshape(nl * h, F, LANE)
+        return jnp.swapaxes(t, 1, 2).reshape(-1)
     parts = []
     for level in plan.levels:
         block = packed[level.row_off : level.row_off + level.h]  # [H, 128F]
         feats = [
             block[:, f * LANE : (f + 1) * LANE].reshape(level.h * LANE)
-            for f in range(plan.f)
+            for f in range(F)
         ]
         rows = jnp.stack(feats, axis=-1)[: level.size]  # [size, F]
         parts.append(rows.reshape(-1))
@@ -315,11 +348,12 @@ def _positions(plan: GridKernelPlan, x, cr):
 
 
 def _corner_indices_and_weights(
-    plan: GridKernelPlan, cells, w, cr, want_terms: bool = False
+    plan: GridKernelPlan, cells, w, cr, want_terms: bool = False, ext=None
 ):
     """Returns per-corner (idx [Nt, L] i32, weight [Nt, L] f32 or None).
     With want_terms, each entry is (idx, cw, terms) where terms[d] is the
-    per-dim selected factor [Nt, L] (w_d or 1-w_d) - needed for dW/dx."""
+    per-dim selected factor [Nt, L] (w_d or 1-w_d) - needed for dW/dx.
+    `ext` [Nt, C*L] supplies precomputed hash values (HashType.Rng)."""
     L, D = plan.n_levels, plan.d
 
     nearest = plan.interpolation == InterpolationType.Nearest
@@ -346,6 +380,8 @@ def _corner_indices_and_weights(
                 cw = term if cw is None else cw * term
                 if want_terms:
                     terms.append(term)
+        if ext is not None:
+            hxor = ext[:, corner * L : (corner + 1) * L]
         raw = jnp.where(cr["hash_mask"] == 1, hxor, csum)  # [Nt, L]
 
         idx_and = raw & cr["size_m1"]
@@ -363,12 +399,12 @@ def _corner_indices_and_weights(
 # ---------------------------------------------------------------------------
 
 
-def _stacked_hi_lo_w(plan, cells, w, cr):
+def _stacked_hi_lo_w(plan, cells, w, cr, ext=None):
     """Corner-stacked index planes: HI, LO i32 [C*Nt, L]; W f32 [C*Nt, L]
     (or None for Nearest). Computed in wide lane-packed ops ONCE - thin
     [*, 1] column arithmetic is catastrophically wasteful on the VPU (each
     op touches a full [8, 128] vreg for 8 useful values)."""
-    per_corner = _corner_indices_and_weights(plan, cells, w, cr)
+    per_corner = _corner_indices_and_weights(plan, cells, w, cr, ext=ext)
     idx = jnp.concatenate([i for i, _ in per_corner], axis=0)  # [C*Nt, L]
     hi = idx >> 7
     lo = idx & (LANE - 1)
@@ -378,7 +414,44 @@ def _stacked_hi_lo_w(plan, cells, w, cr):
     return hi, lo, cw
 
 
+def compute_ext_hash(plan: GridKernelPlan, x):
+    """Precomputed per-corner Rng-hash values [B, C*L] i32 (col c*L + l).
+
+    Replicates the kernels' cell math (same IEEE mul/add/floor as
+    _positions) then runs the PCG32-advance hash (common_device.h:663-677)
+    via ops/pcg32.rng_hash - elementwise work XLA handles well; only the
+    gather/scatter needed Pallas."""
+    from ..pcg32 import rng_hash
+
+    L, D = plan.n_levels, plan.d
+    scales = jnp.asarray(
+        np.asarray([lvl.scale for lvl in plan.levels], np.float32)
+    )
+    pos = x[:, None, :] * scales[None, :, None] + 0.5  # [B, L, D]
+    cells = jnp.floor(pos).astype(jnp.int32)
+    corners = [0] if plan.interpolation == InterpolationType.Nearest else (
+        range(1 << D)
+    )
+    cols = []
+    for corner in corners:
+        bits = jnp.asarray(
+            [(corner >> d) & 1 for d in range(D)], jnp.int32
+        )
+        cc = (cells + bits[None, None, :]).astype(jnp.uint32)  # [B, L, D]
+        cols.append(rng_hash(cc, D).astype(jnp.int32))  # [B, L]
+    return jnp.concatenate(cols, axis=1)  # [B, C*L]
+
+
+def _ext_dummy(plan: GridKernelPlan, x):
+    if plan.ext_hash:
+        return compute_ext_hash(plan, x)
+    return jnp.zeros((1, 1), jnp.int32)
+
+
 def _fwd_kernel(x_ref, table_ref, *const_and_out, plan: GridKernelPlan):
+    if plan.ext_hash:
+        ext_ref = const_and_out[0]
+        const_and_out = const_and_out[1:]
     const_refs, y_ref = const_and_out[:-1], const_and_out[-1]
     cr = {name: ref[:] for name, ref in zip(_CONST_NAMES, const_refs)}
     x = x_ref[:]
@@ -386,7 +459,8 @@ def _fwd_kernel(x_ref, table_ref, *const_and_out, plan: GridKernelPlan):
     F, C, L = plan.f, plan.n_corners, plan.n_levels
 
     cells, w = _positions(plan, x, cr)
-    hi, lo, cw = _stacked_hi_lo_w(plan, cells, w, cr)
+    ext = ext_ref[:] if plan.ext_hash else None
+    hi, lo, cw = _stacked_hi_lo_w(plan, cells, w, cr, ext=ext)
 
     # feature-MAJOR column order inside the kernel (col = f*L + l): the
     # weight expansion is then a plain lane concat (Mosaic rejects the
@@ -427,6 +501,9 @@ def _fwd_kernel(x_ref, table_ref, *const_and_out, plan: GridKernelPlan):
 
 
 def _bwd_kernel(x_ref, gy_ref, *const_and_out, plan: GridKernelPlan):
+    if plan.ext_hash:
+        ext_ref = const_and_out[0]
+        const_and_out = const_and_out[1:]
     const_refs, gtable_ref = const_and_out[:-1], const_and_out[-1]
     cr = {name: ref[:] for name, ref in zip(_CONST_NAMES, const_refs)}
 
@@ -440,7 +517,8 @@ def _bwd_kernel(x_ref, gy_ref, *const_and_out, plan: GridKernelPlan):
     F, C, L = plan.f, plan.n_corners, plan.n_levels
 
     cells, w = _positions(plan, x, cr)
-    hi, lo, cw = _stacked_hi_lo_w(plan, cells, w, cr)
+    ext = ext_ref[:] if plan.ext_hash else None
+    hi, lo, cw = _stacked_hi_lo_w(plan, cells, w, cr, ext=ext)
 
     # per-sample scatter values in feature-MAJOR lanes (col = f*L + l):
     # a[:, f*L+l] = w_corner * dL/dy_{l,f}; gy arrives already permuted to
@@ -482,7 +560,47 @@ def _bwd_kernel(x_ref, gy_ref, *const_and_out, plan: GridKernelPlan):
 # ---------------------------------------------------------------------------
 
 
+def _stoch_index(plan, cells, w, u, cr, ext):
+    """Chosen-corner table index [Nt, L] with DYNAMIC per-sample corner
+    bits bit_d = (u < w_d) (grid.h:288-296). With ext_hash, the chosen
+    corner's precomputed hash is selected from the C per-corner columns."""
+    L, D = plan.n_levels, plan.d
+    u_dl = jnp.concatenate([u] * D, axis=1)  # [Nt, D*L]
+    bits = (u_dl < w).astype(jnp.int32)
+
+    csum = None
+    hxor = None
+    for d in range(D):
+        sl_d = slice(d * L, (d + 1) * L)
+        cc = cells[:, sl_d] + bits[:, sl_d]
+        dmul = cc * cr["strides"][:, sl_d]
+        hmul = cc * cr["factors"][:, sl_d]
+        csum = dmul if csum is None else csum + dmul
+        hxor = hmul if hxor is None else hxor ^ hmul
+    if ext is not None:
+        corner_id = None  # [Nt, L]
+        for d in range(D):
+            contrib = bits[:, d * L : (d + 1) * L] << d
+            corner_id = contrib if corner_id is None else corner_id | contrib
+        hxor = None
+        for c in range(1 << D):
+            sel = jnp.where(
+                corner_id == c, ext[:, c * L : (c + 1) * L], 0
+            )
+            hxor = sel if hxor is None else hxor | sel
+    raw = jnp.where(cr["hash_mask"] == 1, hxor, csum)
+    idx_and = raw & cr["size_m1"]
+    fraw = raw.astype(jnp.float32)
+    idx_fmod = (fraw - jnp.floor(fraw / cr["size_f"]) * cr["size_f"]).astype(
+        jnp.int32
+    )
+    return jnp.where(cr["pow2_mask"] == 1, idx_and, idx_fmod)
+
+
 def _bwd_stoch_kernel(x_ref, gy_ref, u_ref, *const_and_out, plan):
+    if plan.ext_hash:
+        ext_ref = const_and_out[0]
+        const_and_out = const_and_out[1:]
     const_refs, gtable_ref = const_and_out[:-1], const_and_out[-1]
     cr = {name: ref[:] for name, ref in zip(_CONST_NAMES, const_refs)}
 
@@ -497,29 +615,8 @@ def _bwd_stoch_kernel(x_ref, gy_ref, u_ref, *const_and_out, plan):
     F, L, D = plan.f, plan.n_levels, plan.d
 
     cells, w = _positions(plan, x, cr)
-
-    # chosen-corner bits: bit_d = (u < w_d), the SAME u for every dim of a
-    # (sample, level) pair (grid.h:288-296)
-    u_dl = jnp.concatenate([u] * D, axis=1)  # [Nt, D*L]
-    bits = (u_dl < w).astype(jnp.int32)
-
-    # grid_index with dynamic bits
-    csum = None
-    hxor = None
-    for d in range(D):
-        sl_d = slice(d * L, (d + 1) * L)
-        cc = cells[:, sl_d] + bits[:, sl_d]
-        dmul = cc * cr["strides"][:, sl_d]
-        hmul = cc * cr["factors"][:, sl_d]
-        csum = dmul if csum is None else csum + dmul
-        hxor = hmul if hxor is None else hxor ^ hmul
-    raw = jnp.where(cr["hash_mask"] == 1, hxor, csum)
-    idx_and = raw & cr["size_m1"]
-    fraw = raw.astype(jnp.float32)
-    idx_fmod = (fraw - jnp.floor(fraw / cr["size_f"]) * cr["size_f"]).astype(
-        jnp.int32
-    )
-    idx = jnp.where(cr["pow2_mask"] == 1, idx_and, idx_fmod)  # [Nt, L]
+    ext = ext_ref[:] if plan.ext_hash else None
+    idx = _stoch_index(plan, cells, w, u, cr, ext)  # [Nt, L]
     hi = idx >> 7
     lo = idx & (LANE - 1)
 
@@ -547,6 +644,7 @@ def _bwd_stoch_call(plan: GridKernelPlan, x, gy, u):
     b = x.shape[0]
     nt = plan.batch_tile
     consts = _plan_constants(plan)
+    ext_specs, ext_args = _ext_specs_args(plan, x)
     return pl.pallas_call(
         functools.partial(_bwd_stoch_kernel, plan=plan),
         grid=(b // nt,),
@@ -559,6 +657,7 @@ def _bwd_stoch_call(plan: GridKernelPlan, x, gy, u):
                 (nt, plan.n_levels), lambda g: (g, 0), memory_space=pltpu.VMEM
             ),
         ]
+        + ext_specs
         + _const_specs(consts),
         out_specs=pl.BlockSpec(
             (plan.h_total, LANE * plan.f),
@@ -569,7 +668,7 @@ def _bwd_stoch_call(plan: GridKernelPlan, x, gy, u):
             (plan.h_total, LANE * plan.f), jnp.float32
         ),
         compiler_params=_VMEM_LIMIT,
-    )(x, gy, u, *_const_args(consts))
+    )(x, gy, u, *ext_args, *_const_args(consts))
 
 
 # ---------------------------------------------------------------------------
@@ -580,6 +679,9 @@ def _bwd_stoch_call(plan: GridKernelPlan, x, gy, u):
 
 
 def _bwd_ig_kernel(x_ref, gy_ref, table_ref, *const_and_out, plan):
+    if plan.ext_hash:
+        ext_ref = const_and_out[0]
+        const_and_out = const_and_out[1:]
     const_refs = const_and_out[:-2]
     gtable_ref, gx_ref = const_and_out[-2], const_and_out[-1]
     cr = {name: ref[:] for name, ref in zip(_CONST_NAMES, const_refs)}
@@ -611,7 +713,10 @@ def _bwd_ig_kernel(x_ref, gy_ref, table_ref, *const_and_out, plan):
         w = fract
         deriv = jnp.broadcast_to(cr["scales"], fract.shape)
 
-    per_corner = _corner_indices_and_weights(plan, cells, w, cr, want_terms=True)
+    per_corner = _corner_indices_and_weights(
+        plan, cells, w, cr, want_terms=True,
+        ext=ext_ref[:] if plan.ext_hash else None,
+    )
     idx = jnp.concatenate([i for i, _, _ in per_corner], axis=0)
     hi = idx >> 7
     lo = idx & (LANE - 1)
@@ -686,6 +791,7 @@ def _bwd_ig_call(plan: GridKernelPlan, table_packed, x, gy):
     b = x.shape[0]
     nt = plan.batch_tile
     consts = _plan_constants(plan)
+    ext_specs, ext_args = _ext_specs_args(plan, x)
     return pl.pallas_call(
         functools.partial(_bwd_ig_kernel, plan=plan),
         grid=(b // nt,),
@@ -700,6 +806,7 @@ def _bwd_ig_call(plan: GridKernelPlan, table_packed, x, gy):
                 memory_space=pltpu.VMEM,
             ),
         ]
+        + ext_specs
         + _const_specs(consts),
         out_specs=[
             pl.BlockSpec(
@@ -716,7 +823,7 @@ def _bwd_ig_call(plan: GridKernelPlan, table_packed, x, gy):
             jax.ShapeDtypeStruct((b, x.shape[1]), jnp.float32),
         ],
         compiler_params=_VMEM_LIMIT,
-    )(x, gy, table_packed, *_const_args(consts))
+    )(x, gy, table_packed, *ext_args, *_const_args(consts))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -762,10 +869,21 @@ def grid_encode_pallas_ig(plan: GridKernelPlan, params, x):
 _VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
 
 
+def _ext_specs_args(plan: GridKernelPlan, x):
+    """Optional precomputed-hash kernel input (HashType.Rng)."""
+    if not plan.ext_hash:
+        return [], []
+    nt = plan.batch_tile
+    w = plan.n_corners * plan.n_levels
+    spec = pl.BlockSpec((nt, w), lambda g: (g, 0), memory_space=pltpu.VMEM)
+    return [spec], [compute_ext_hash(plan, x)]
+
+
 def _fwd_call(plan: GridKernelPlan, table_packed, x):
     b = x.shape[0]
     nt = plan.batch_tile
     consts = _plan_constants(plan)
+    ext_specs, ext_args = _ext_specs_args(plan, x)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, plan=plan),
         grid=(b // nt,),
@@ -777,19 +895,21 @@ def _fwd_call(plan: GridKernelPlan, table_packed, x):
                 memory_space=pltpu.VMEM,
             ),
         ]
+        + ext_specs
         + _const_specs(consts),
         out_specs=pl.BlockSpec(
             (nt, plan.out_width), lambda g: (g, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, plan.out_width), jnp.bfloat16),
         compiler_params=_VMEM_LIMIT,
-    )(x, table_packed, *_const_args(consts))
+    )(x, table_packed, *ext_args, *_const_args(consts))
 
 
 def _bwd_call(plan: GridKernelPlan, x, gy):
     b = x.shape[0]
     nt = plan.batch_tile
     consts = _plan_constants(plan)
+    ext_specs, ext_args = _ext_specs_args(plan, x)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, plan=plan),
         grid=(b // nt,),
@@ -799,6 +919,7 @@ def _bwd_call(plan: GridKernelPlan, x, gy):
                 (nt, plan.out_width), lambda g: (g, 0), memory_space=pltpu.VMEM
             ),
         ]
+        + ext_specs
         + _const_specs(consts),
         out_specs=pl.BlockSpec(
             (plan.h_total, LANE * plan.f),
@@ -809,7 +930,7 @@ def _bwd_call(plan: GridKernelPlan, x, gy):
             (plan.h_total, LANE * plan.f), jnp.float32
         ),
         compiler_params=_VMEM_LIMIT,
-    )(x, gy, *_const_args(consts))
+    )(x, gy, *ext_args, *_const_args(consts))
 
 
 def _fmajor_perm(plan):

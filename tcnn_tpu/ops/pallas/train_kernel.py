@@ -48,15 +48,15 @@ from . import grid_kernel as gk
 LANE = 128
 
 
-def supported(model, loss, perturbation_sigma: float) -> bool:
-    """Whether the fused train kernel covers this (model, loss) config."""
+def supported(model, loss, perturbation_sigma: float = 0.0) -> bool:
+    """Whether the fused train kernel covers this (model, loss) config.
+    perturbation_sigma and external dL_doutput are handled in-kernel (the
+    noise / cotangent arrive as inputs), so they no longer gate."""
     from ...models.mlp import FullyFusedMLP
     from ...models.network_with_input_encoding import NetworkWithInputEncoding
     from ...ops.encodings.grid import GridEncoding
     from ...ops.losses import Loss
 
-    if perturbation_sigma != 0.0:
-        return False
     if not isinstance(model, NetworkWithInputEncoding):
         return False
     if not isinstance(model.encoding, GridEncoding):
@@ -70,6 +70,10 @@ def supported(model, loss, perturbation_sigma: float) -> bool:
         return False
     plan = model.encoding._kernel_plan()
     if plan is None:
+        return False
+    if plan.ext_hash:
+        # Rng-hash configs use the composed kernels (which take the
+        # precomputed-hash input); the fused kernel doesn't plumb it yet
         return False
     # VMEM estimate: the fused kernel caches the per-level one-hot masks
     # between gather and scatter (not needed for the stochastic scatter,
@@ -112,6 +116,8 @@ def _kernel(
     n_valid,
     max_level,
     has_pdf,
+    has_noise,
+    has_ext_dl,
 ):
     n_w = n_weights
     stochastic = plan.stochastic
@@ -121,6 +127,10 @@ def _kernel(
     pdf_ref = None
     if has_pdf:
         pdf_ref = rest[pos]
+        pos += 1
+    noise_ref = None
+    if has_noise:
+        noise_ref = rest[pos]
         pos += 1
     u_ref = None
     if stochastic:
@@ -200,29 +210,39 @@ def _kernel(
         h = activation_fn(z, act).astype(jnp.bfloat16)
         hs.append(h)
 
-    # ---- loss value + gradient (tcnn-exact elementwise family) -------------
-    pred = hs[-1].astype(jnp.float32)  # [Nt, out_pad]
-    targets = t_ref[:].astype(jnp.float32)
-    pdf = (
-        pdf_ref[:].astype(jnp.float32)
-        if pdf_ref is not None
-        else jnp.ones_like(targets)
-    )
-    values, grad = loss.value_and_grad_fn(pred, targets, pdf)
-    # mask rows beyond the true batch (batch padded to the tile size);
-    # normalization to the true batch happens in the wrapper
-    row = jax.lax.broadcasted_iota(jnp.int32, (nt, 1), 0)
-    valid = (row + pl.program_id(0) * nt < n_valid).astype(jnp.float32)
-    values = values * valid
-    grad = grad * valid
-    loss_ref[0, 0] = loss_ref[0, 0] + jnp.sum(values)
+    if has_ext_dl:
+        # external dL_doutput mode (trainer.h:127-131): the caller supplies
+        # the output cotangent directly (t_ref carries it); no loss
+        g = t_ref[:].astype(jnp.float32)
+        loss_ref[0, 0] = jnp.float32(0.0)
+    else:
+        # ---- loss value + gradient (tcnn-exact elementwise family) ------
+        pred = hs[-1].astype(jnp.float32)  # [Nt, out_pad]
+        if noise_ref is not None:
+            # output perturbation (logistic noise, trainer.h:114-121),
+            # precomputed with the SAME rng as the composed path
+            pred = pred + noise_ref[:].astype(jnp.float32)
+        targets = t_ref[:].astype(jnp.float32)
+        pdf = (
+            pdf_ref[:].astype(jnp.float32)
+            if pdf_ref is not None
+            else jnp.ones_like(targets)
+        )
+        values, grad = loss.value_and_grad_fn(pred, targets, pdf)
+        # mask rows beyond the true batch (batch padded to the tile size);
+        # normalization to the true batch happens in the wrapper
+        row = jax.lax.broadcasted_iota(jnp.int32, (nt, 1), 0)
+        valid = (row + pl.program_id(0) * nt < n_valid).astype(jnp.float32)
+        values = values * valid
+        grad = grad * valid
+        loss_ref[0, 0] = loss_ref[0, 0] + jnp.sum(values)
+        g = grad * loss_scale  # [Nt, out_pad] f32
 
     # ---- fused MLP backward -------------------------------------------------
     # the MLP matmuls are tiny next to the grid's (64-wide vs table-sized),
     # so the backward runs in f32 - same cotangent precision as the XLA
     # autodiff path (the standalone mlp_kernel uses bf16 cotangents like the
     # reference's __half; here f32 is free)
-    g = grad * loss_scale  # [Nt, out_pad] f32
     for i in reversed(range(n_w)):
         act = mlp.output_activation if i == n_w - 1 else mlp.activation
         g = activation_bwd_out(g, hs[i + 1].astype(jnp.float32), act)
@@ -413,9 +433,15 @@ def fused_forward(model, params, x):
     return y[:b]
 
 
-def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None):
+def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None,
+                      noise=None, ext_dl=False):
     """(loss_value_sum, grads_flat) for a NetworkWithInputEncoding(grid,
-    FullyFusedMLP) model - one Pallas kernel per batch tile."""
+    FullyFusedMLP) model - one Pallas kernel per batch tile.
+
+    noise: optional [B, out_pad] output perturbation added before the loss
+    (trainer.h:114-121). ext_dl: `targets` IS the external dL_doutput
+    [B, out_pad] (trainer.h:127-131) - no loss is computed, the returned
+    loss sum is 0, and gradients are raw per-sample sums (no 1/n_total)."""
     plan = model.encoding._kernel_plan()
     max_level = model.encoding.max_level
     mlp = model.network
@@ -447,6 +473,8 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None):
         targets = jnp.pad(targets, ((0, padded - b), (0, 0)))
         if pdf is not None:
             pdf = jnp.pad(pdf, ((0, padded - b), (0, 0)), constant_values=1.0)
+        if noise is not None:
+            noise = jnp.pad(noise, ((0, padded - b), (0, 0)))
 
     consts = gk._plan_constants(plan)
     grid_steps = padded // nt
@@ -462,6 +490,8 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None):
         n_valid=b,
         max_level=max_level,
         has_pdf=pdf is not None,
+        has_noise=noise is not None,
+        has_ext_dl=ext_dl,
     )
 
     in_specs = (
@@ -509,6 +539,12 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None):
     extra_args = []
     if pdf is not None:
         extra_args.append(pdf)
+    if noise is not None:
+        extra_args.append(noise)
+        in_specs = in_specs + [
+            pl.BlockSpec((nt, noise.shape[1]), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM)
+        ]
     if plan.stochastic:
         # per-(sample, level) corner uniforms from the SHARED helper (drawn
         # over the true batch, padded) so the chosen corners match the XLA
@@ -535,8 +571,9 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None):
 
     # the elementwise loss family normalizes by n_total = batch*dims using
     # the PER-TILE batch (nt); rescale everything to the true global batch
-    # (padded rows were masked to zero in-kernel)
-    scale = nt / b
+    # (padded rows were masked to zero in-kernel). External-dL gradients
+    # are raw per-sample sums - no renormalization.
+    scale = 1.0 if ext_dl else nt / b
     total = loss_sum * scale
 
     genc = gk.unpack_table_grads(plan, gtable, int(enc_p.shape[0]))

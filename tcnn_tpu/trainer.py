@@ -78,8 +78,6 @@ class Trainer:
     def _fused_kernel_ok(self, pdf=None) -> bool:
         if self.use_fused_train_kernel is False:
             return False
-        if self.perturbation_sigma != 0.0:
-            return False
         if self.compute_dtype != jnp.bfloat16:
             return False  # the fused kernel computes in bf16
         try:
@@ -103,9 +101,19 @@ class Trainer:
             # single-kernel grid+MLP+loss+backward path (train_kernel.py)
             from .ops.pallas.train_kernel import fused_train_grads
 
+            noise = None
+            if self.perturbation_sigma > 0:
+                # same rng/formula as the composed path below, precomputed
+                # and added to the prediction inside the kernel
+                out_pad = self.model.padded_output_width
+                u = jax.random.uniform(
+                    rng, (inputs.shape[0], out_pad),
+                    minval=1e-6, maxval=1.0 - 1e-6,
+                )
+                noise = self.perturbation_sigma * jnp.log(u / (1.0 - u))
             total, grads = fused_train_grads(
                 self.model, self.loss_fn, params, inputs, targets,
-                self.loss_scale, pdf=pdf,
+                self.loss_scale, pdf=pdf, noise=noise,
             )
             return total, grads
 
@@ -127,6 +135,15 @@ class Trainer:
 
     def external_grad_fn(self, params, inputs, dL_doutput):
         """Backward from a caller-provided dL_doutput (trainer.h:127-131)."""
+        if self._fused_kernel_ok():
+            from .ops.pallas.train_kernel import fused_train_grads
+
+            _, grads = fused_train_grads(
+                self.model, self.loss_fn, params, inputs,
+                dL_doutput.astype(jnp.float32), self.loss_scale,
+                ext_dl=True,
+            )
+            return grads
 
         def f(p):
             return self.model.apply(p, inputs, compute_dtype=self.compute_dtype)

@@ -114,7 +114,7 @@ class _nullctx:
 def test_supported_gating():
     m = _model()
     assert supported(m.network, m.trainer.loss_fn, 0.0)
-    assert not supported(m.network, m.trainer.loss_fn, 0.5)  # perturbation
+    assert supported(m.network, m.trainer.loss_fn, 0.5)  # perturbation: in-kernel now
     m2 = tc.create_from_config(
         2,
         3,
@@ -252,3 +252,57 @@ def test_fused_stochastic_scatter():
     n_net = m.network.network.n_params
     gt = np.asarray(g1[n_net:])
     assert np.isfinite(gt).all() and np.abs(gt).max() > 0
+
+
+def test_fused_perturbation_matches_composed():
+    """perturbation_sigma is now handled in-kernel (noise precomputed with
+    the SAME rng as the composed path) - losses and gradients must agree."""
+    m = _model()
+    tr = m.trainer
+    tr.perturbation_sigma = 0.1
+    rng = np.random.default_rng(2)
+    B = 512
+    x = jnp.asarray(rng.uniform(size=(B, 2)), jnp.float32)
+    t = jnp.asarray(rng.uniform(size=(B, 3)), jnp.float32)
+    key = jax.random.PRNGKey(5)
+
+    assert supported(m.network, tr.loss_fn, tr.perturbation_sigma)
+    tr.use_fused_train_kernel = False
+    lv_ref, g_ref = tr.loss_and_grad_fn(tr.state["params"], x, t, None, key)
+    tr.use_fused_train_kernel = True
+    with pltpu.force_tpu_interpret_mode():
+        lv_f, g_f = tr.loss_and_grad_fn(tr.state["params"], x, t, None, key)
+
+    np.testing.assert_allclose(float(lv_f), float(lv_ref), rtol=1e-3)
+    gr, gf = np.asarray(g_ref), np.asarray(g_f)
+    rel = np.linalg.norm(gf - gr) / max(np.linalg.norm(gr), 1e-12)
+    assert rel < 8e-2, rel
+    # the noise must actually differ from the unperturbed loss
+    tr.use_fused_train_kernel = False
+    tr.perturbation_sigma = 0.0
+    lv_clean, _ = tr.loss_and_grad_fn(tr.state["params"], x, t, None, key)
+    assert abs(float(lv_clean) - float(lv_ref)) > 1e-6
+
+
+def test_fused_external_dl_doutput_matches_composed():
+    """External dL_doutput runs through the fused kernel (raw per-sample
+    gradient sums, no loss normalization) and must match the autodiff vjp."""
+    m = _model()
+    tr = m.trainer
+    rng = np.random.default_rng(3)
+    B = 600  # not a tile multiple
+    x = jnp.asarray(rng.uniform(size=(B, 2)), jnp.float32)
+    dl = jnp.asarray(
+        rng.normal(size=(B, m.network.padded_output_width)) * 1e-2,
+        jnp.float32,
+    )
+
+    tr.use_fused_train_kernel = False
+    g_ref = np.asarray(tr.external_grad_fn(tr.state["params"], x, dl))
+    tr.use_fused_train_kernel = True
+    assert tr._fused_kernel_ok()
+    with pltpu.force_tpu_interpret_mode():
+        g_f = np.asarray(tr.external_grad_fn(tr.state["params"], x, dl))
+
+    rel = np.linalg.norm(g_f - g_ref) / max(np.linalg.norm(g_ref), 1e-12)
+    assert rel < 8e-2, rel
