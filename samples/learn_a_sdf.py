@@ -31,6 +31,9 @@ ENCODINGS = {
         "log2_hashmap_size": 17,
         "base_resolution": 8,
         "per_level_scale": 1.5,
+        # fast_input_grads stays at its default (True): the Pallas
+        # input-grad path now carries its own bwd-bwd kernel, so the
+        # eikonal second-order term trains on the fast path too
     },
     "PPNG1": {"otype": "PPNG1", "n_quants": 64, "n_frequencies": 6,
               "n_features": 4, "rank": 4},

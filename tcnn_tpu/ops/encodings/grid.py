@@ -110,7 +110,7 @@ class GridEncoding(Encoding):
         stochastic_interpolation: bool = False,
         max_level: float | None = None,
         seed: int = 1337,
-        fast_input_grads: bool = False,
+        fast_input_grads: bool = True,
     ):
         if n_dims_to_encode not in (2, 3, 4):
             raise ValueError("GridEncoding supports 2, 3, or 4 input dims")
@@ -176,10 +176,13 @@ class GridEncoding(Encoding):
 
     # NOTE: ``fast_input_grads`` (kernel_grid_backward_input parity,
     # grid.h:322-349) is an INSTANCE attribute set by the constructor (or
-    # the "fast_input_grads" JSON key). FIRST-order only - attempting
-    # grad-of-grad through that path raises (jax.custom_vjp's bwd is not
-    # differentiable); leave it off for second-order work (the XLA path
-    # supports arbitrary-order autodiff).
+    # the "fast_input_grads" JSON key), DEFAULT ON: on TPU,
+    # prepare_input_gradients=True dispatches to the fused Pallas
+    # scatter+input-grad backward (measured 67 ms vs 1259 ms XLA,
+    # config_hash b=2^18), whose backward is ITSELF differentiable via the
+    # bwd-bwd trio kernel (grid.h:351-650 parity) - second-order (eikonal)
+    # training stays on the fast path. THIRD order raises; pass
+    # fast_input_grads=False for the arbitrary-order XLA path.
 
     def _kernel_plan(self):
         if self._kernel_plan_cache == ():

@@ -222,40 +222,76 @@ class PPNG2Encoding(PPNGBase):
             * self.rank
         )
 
+    #: batch chunk for the einsum intermediates ([bc,F,2,C,Q,R] per plane)
+    _CHUNK = 16384
+
     def apply_unpadded(self, params, x, *, compute_dtype=COMPUTE_DTYPE, **_):
+        """MXU-native formulation: each plane's 2x2 corner sub-block is
+        extracted with one-hot einsums over the Q axes (gathers are the
+        slowest primitive on TPU - and under autodiff the transposed
+        einsums become matmul scatters, replacing the XLA scatter-add that
+        dominated PPNG2's backward); the 8-corner rank-coupled combine
+        (ppng_2.h:32-39) then runs on the tiny [.., 2, 2] blocks."""
         B = x.shape[0]
         F, C = self.n_frequencies, self.n_features
         Q, R = self.n_quants, self.rank
         tbl = params.reshape(F, 2, 3, C, Q, Q, R)
-        p0, p1, w = self._quant_coords(x.astype(jnp.float32))  # [B,F,2,3]
-        p = jnp.stack([p0, p1], axis=-1)  # [B,F,2,3,2] bit-indexed
+        qi = jnp.arange(Q)
 
-        fi = jnp.arange(F)[None, :, None]
-        si = jnp.arange(2)[None, None, :]
+        def chunk_fn(xc):
+            bc = xc.shape[0]
+            p0, p1, w = self._quant_coords(xc.astype(jnp.float32))
+            # bit-indexed one-hot pairs over Q: [bc,F,2,3,2,Q]
+            oh = (
+                jnp.stack([p0, p1], axis=-1)[..., None] == qi
+            ).astype(jnp.float32)
 
-        def plane(d, row_bits, col_bits, row_dim, col_dim):
-            """tbl[f,s,d,:,p_rowbit[row_dim],p_colbit[col_dim],:] [B,F,2,C,R]."""
-            pr = p[:, :, :, row_dim, row_bits]
-            pc = p[:, :, :, col_dim, col_bits]
-            return tbl[fi, si, d, :, pr, pc, :]
+            # plane 0 rows=dim2(z) cols=dim1(y); plane 1 (z,x); plane 2 (y,x)
+            dims = [(2, 1), (2, 0), (1, 0)]
+            planes = []
+            for d, (rd, cd) in enumerate(dims):
+                u = oh[:, :, :, rd]  # [bc,F,2,2,Q]
+                v = oh[:, :, :, cd]
+                t1 = jnp.einsum(
+                    "bfsuq,fscqkr->bfsuckr", u, tbl[:, :, d],
+                    preferred_element_type=jnp.float32,
+                )  # [bc,F,2,2,C,Q,R]
+                planes.append(
+                    jnp.einsum(
+                        "bfsvk,bfsuckr->bfsuvcr", v, t1,
+                        preferred_element_type=jnp.float32,
+                    )
+                )  # [bc,F,2,2(row),2(col),C,R]
+            P0, P1, P2 = planes
 
-        out = jnp.zeros((B, F, 2, C), jnp.float32)
-        for corner in range(8):
-            a = (corner >> 2) & 1  # x bit (w[0])
-            b = (corner >> 1) & 1  # y bit (w[1])
-            c2 = corner & 1  # z bit (w[2])
-            # ppng_2.h:32-39: W = prod over dims of (bit ? w : 1-w)
-            wx = w[..., 0] if a else 1.0 - w[..., 0]
-            wy = w[..., 1] if b else 1.0 - w[..., 1]
-            wz = w[..., 2] if c2 else 1.0 - w[..., 2]
-            weight = wx * wy * wz  # [B,F,2]
-            # plane 0 indexed [z, y], plane 1 [z, x], plane 2 [y, x]
-            fx = plane(0, c2, b, 2, 1)  # [B,F,2,C,R]
-            fy = plane(1, c2, a, 2, 0)
-            fz = plane(2, b, a, 1, 0)
-            val = jnp.sum(fx * fy * fz, axis=-1)  # [B,F,2,C]
-            out = out + weight[..., None] * val
-        return out.reshape(B, F * 2 * C).astype(compute_dtype)
+            out = jnp.zeros((bc, F, 2, C), jnp.float32)
+            for corner in range(8):
+                a = (corner >> 2) & 1  # x bit (w[0])
+                b = (corner >> 1) & 1  # y bit (w[1])
+                c2 = corner & 1  # z bit (w[2])
+                wx = w[..., 0] if a else 1.0 - w[..., 0]
+                wy = w[..., 1] if b else 1.0 - w[..., 1]
+                wz = w[..., 2] if c2 else 1.0 - w[..., 2]
+                weight = wx * wy * wz  # [bc,F,2]
+                val = jnp.sum(
+                    P0[:, :, :, c2, b] * P1[:, :, :, c2, a]
+                    * P2[:, :, :, b, a],
+                    axis=-1,
+                )  # [bc,F,2,C]
+                out = out + weight[..., None] * val
+            return out.reshape(bc, F * 2 * C)
+
+        if B <= self._CHUNK:
+            out = chunk_fn(x)
+        else:
+            # bound the per-plane einsum intermediates; pad to a chunk
+            # multiple and run chunks sequentially
+            nb = -(-B // self._CHUNK)
+            xp = jnp.pad(x, ((0, nb * self._CHUNK - B), (0, 0)))
+            out = jax.lax.map(
+                chunk_fn, xp.reshape(nb, self._CHUNK, x.shape[1])
+            ).reshape(nb * self._CHUNK, -1)[:B]
+        return out.astype(compute_dtype)
 
 
 class PPNG3Encoding(PPNGBase):

@@ -826,6 +826,278 @@ def _bwd_ig_call(plan: GridKernelPlan, table_packed, x, gy):
     )(x, gy, table_packed, *ext_args, *_const_args(consts))
 
 
+# ---------------------------------------------------------------------------
+# Second-order kernel: the vjp of the (gparams, gx) backward itself -
+# the reference's backward_backward_input trio (grid.h:351-650:
+# kernel_grid_backward_input_backward_{grid, dLdoutput, input}), fused into
+# one pass sharing index math and one-hots.
+#
+# Given cotangents (ct_gparams, z = dL2/d(gx)):
+#   ct_gy[l,f]   = sum_c picked(table)_c * zw_c + picked(ct_table)_c * W_c
+#   ct_params    = scatter_c of zw_c * gy_f            (..._backward_grid)
+#   ct_x[d']     = sum_c dotf_c * [sum_d z_d * d2W_c/dx_d dx_d']   (Hessian)
+#                + sum_c dotf2_c * dW_c/dx_d'           (via ct_table)
+# where zw_c = sum_d z_d * dW_c/dx_d. Unlike the reference (which documents
+# d(dL_dgrid)/dx unsupported and implements the Hessian diagonal only for
+# smoothstep), ALL blocks are implemented - including the off-diagonal
+# Hessian terms (for Linear interpolation the diagonal is identically 0).
+# ---------------------------------------------------------------------------
+
+
+def _bwd_bwd_kernel(x_ref, gy_ref, z_ref, table_ref, ct_table_ref,
+                    *const_and_out, plan):
+    if plan.ext_hash:
+        ext_ref = const_and_out[0]
+        const_and_out = const_and_out[1:]
+    const_refs = const_and_out[:-3]
+    ct_gy_ref, gtable2_ref, ct_x_ref = const_and_out[-3:]
+    cr = {name: ref[:] for name, ref in zip(_CONST_NAMES, const_refs)}
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        gtable2_ref[:] = jnp.zeros_like(gtable2_ref)
+
+    x = x_ref[:]
+    gy = gy_ref[:].astype(jnp.float32)  # f-major [Nt, F*L]
+    z = z_ref[:].astype(jnp.float32)  # [Nt, D]
+    nt = x.shape[0]
+    F, C, L, D = plan.f, plan.n_corners, plan.n_levels, plan.d
+
+    xx = jnp.concatenate(
+        [jnp.broadcast_to(x[:, d : d + 1], (nt, L)) for d in range(D)],
+        axis=1,
+    )
+    pos = xx * cr["scales"] + 0.5
+    cell_f = jnp.floor(pos)
+    fract = pos - cell_f
+    cells = cell_f.astype(jnp.int32)
+    if plan.interpolation == InterpolationType.Smoothstep:
+        w = smoothstep(fract)
+        deriv = 6.0 * fract * (1.0 - fract) * cr["scales"]
+        deriv2 = 6.0 * (1.0 - 2.0 * fract) * cr["scales"] * cr["scales"]
+    else:
+        w = fract
+        deriv = jnp.broadcast_to(cr["scales"], fract.shape)
+        deriv2 = jnp.zeros_like(fract)
+
+    per_corner = _corner_indices_and_weights(
+        plan, cells, w, cr, want_terms=True,
+        ext=ext_ref[:] if plan.ext_hash else None,
+    )
+    idx = jnp.concatenate([i for i, _, _ in per_corner], axis=0)
+    hi = idx >> 7
+    lo = idx & (LANE - 1)
+    cw = jnp.concatenate([c for _, c, _ in per_corner], axis=0)  # [CNt, L]
+
+    # per-corner dW_c/dx_d pieces, corner-stacked [C*Nt, L] per dim
+    def _prod_excluding(terms, excl):
+        out = None
+        for d2 in range(D):
+            if d2 in excl:
+                continue
+            out = terms[d2] if out is None else out * terms[d2]
+        return out if out is not None else jnp.ones_like(terms[0])
+
+    deriv_c = jnp.concatenate([deriv] * C, axis=0)  # [C*Nt, D*L]
+    deriv2_c = jnp.concatenate([deriv2] * C, axis=0)
+    z_c = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [jnp.broadcast_to(z[:, d : d + 1], (nt, L)) for d in range(D)],
+                axis=1,
+            )
+        ]
+        * C,
+        axis=0,
+    )  # [C*Nt, D*L]
+
+    dw = []  # per dim d: [C*Nt, L] = dW_c/dx_d (corner-stacked)
+    for d in range(D):
+        parts = []
+        for corner_i, (_, _, terms) in enumerate(per_corner):
+            sgn = 1.0 if (corner_i >> d) & 1 else -1.0
+            parts.append(sgn * _prod_excluding(terms, (d,)))
+        dw.append(
+            jnp.concatenate(parts, axis=0)
+            * deriv_c[:, d * L : (d + 1) * L]
+        )
+    zw = None  # [C*Nt, L] = sum_d z_d * dW_c/dx_d
+    for d in range(D):
+        t = z_c[:, d * L : (d + 1) * L] * dw[d]
+        zw = t if zw is None else zw + t
+
+    gy_c = jnp.concatenate([gy] * C, axis=0)  # [C*Nt, F*L]
+    zwf = jnp.concatenate([zw] * F, axis=1) if F > 1 else zw
+    scatter_vals = gy_c * zwf  # f-major scatter values for ct_params
+
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (C * nt, LANE), 1)
+    picked_cols = [[] for _ in range(F)]  # from table
+    picked2_cols = [[] for _ in range(F)]  # from ct_table
+    for l, level in enumerate(plan.levels):
+        oh = (
+            hi[:, l : l + 1]
+            == jax.lax.broadcasted_iota(jnp.int32, (C * nt, level.h), 1)
+        ).astype(jnp.bfloat16)
+        ohlo = (lo[:, l : l + 1] == lane_iota).astype(jnp.float32)
+        sl = slice(level.row_off, level.row_off + level.h)
+        g1 = jnp.dot(oh, table_ref[sl, :], preferred_element_type=jnp.float32)
+        g2 = jnp.dot(
+            oh, ct_table_ref[sl, :], preferred_element_type=jnp.float32
+        )
+        for f in range(F):
+            fs = slice(f * LANE, (f + 1) * LANE)
+            picked_cols[f].append(
+                jnp.sum(g1[:, fs] * ohlo, axis=1, keepdims=True)
+            )
+            picked2_cols[f].append(
+                jnp.sum(g2[:, fs] * ohlo, axis=1, keepdims=True)
+            )
+        # ct_params scatter: zw_c * gy (..._backward_grid, grid.h:351-455)
+        rhs = jnp.concatenate(
+            [
+                ohlo * scatter_vals[:, f * L + l : f * L + l + 1]
+                for f in range(F)
+            ],
+            axis=1,
+        ).astype(jnp.bfloat16)
+        contrib = jax.lax.dot_general(
+            oh, rhs,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        gtable2_ref[sl, :] = gtable2_ref[sl, :] + contrib
+
+    # ct_gy (f-major): picked*zw + picked2*W (..._backward_dLdoutput)
+    ct_gy_parts = []
+    for f in range(F):
+        p1 = jnp.concatenate(picked_cols[f], axis=1)  # [C*Nt, L]
+        p2 = jnp.concatenate(picked2_cols[f], axis=1)
+        ct_gy_parts.append(p1 * zw + p2 * cw)
+    ct_gy = jnp.concatenate(ct_gy_parts, axis=1)  # [C*Nt, F*L] f-major
+    ct_gy_ref[:] = (
+        ct_gy.reshape(C, nt, F * L).sum(axis=0).astype(ct_gy_ref.dtype)
+    )
+
+    # per-corner gy-contracted features
+    dotf = None  # [C*Nt, L] from table
+    dotf2 = None  # from ct_table
+    for f in range(F):
+        p1 = jnp.concatenate(picked_cols[f], axis=1)
+        p2 = jnp.concatenate(picked2_cols[f], axis=1)
+        gyf = gy_c[:, f * L : (f + 1) * L]
+        dotf = p1 * gyf if dotf is None else dotf + p1 * gyf
+        dotf2 = p2 * gyf if dotf2 is None else dotf2 + p2 * gyf
+
+    # ct_x[d'] = dotf * sum_d z_d d2W/dx_d dx_d'  +  dotf2 * dW/dx_d'
+    ct_x_cols = []
+    for dp in range(D):
+        hess = None  # [C*Nt, L] = sum_d z_d * d2W_c/dx_d dx_dp
+        for d in range(D):
+            if d == dp:
+                parts = []
+                for corner_i, (_, _, terms) in enumerate(per_corner):
+                    sgn = 1.0 if (corner_i >> d) & 1 else -1.0
+                    parts.append(sgn * _prod_excluding(terms, (d,)))
+                block = (
+                    jnp.concatenate(parts, axis=0)
+                    * deriv2_c[:, d * L : (d + 1) * L]
+                )
+            else:
+                parts = []
+                for corner_i, (_, _, terms) in enumerate(per_corner):
+                    sgn_d = 1.0 if (corner_i >> d) & 1 else -1.0
+                    sgn_p = 1.0 if (corner_i >> dp) & 1 else -1.0
+                    parts.append(sgn_d * sgn_p * _prod_excluding(terms, (d, dp)))
+                block = (
+                    jnp.concatenate(parts, axis=0)
+                    * deriv_c[:, d * L : (d + 1) * L]
+                    * deriv_c[:, dp * L : (dp + 1) * L]
+                )
+            t = z_c[:, d * L : (d + 1) * L] * block
+            hess = t if hess is None else hess + t
+        contrib = dotf * hess + dotf2 * dw[dp]
+        ct_x_cols.append(jnp.sum(contrib, axis=1, keepdims=True))
+    ct_x = jnp.concatenate(ct_x_cols, axis=1)  # [C*Nt, D]
+    ct_x_ref[:] = ct_x.reshape(C, nt, D).sum(axis=0).astype(ct_x_ref.dtype)
+
+
+def _bwd_bwd_call(plan, table_packed, ct_table_packed, x, gy_fm, z):
+    b = x.shape[0]
+    nt = plan.batch_tile
+    consts = _plan_constants(plan)
+    ext_specs, ext_args = _ext_specs_args(plan, x)
+    tbl_spec = pl.BlockSpec(
+        (plan.h_total, LANE * plan.f), lambda g: (0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_bwd_kernel, plan=plan),
+        grid=(b // nt,),
+        in_specs=[
+            pl.BlockSpec((nt, x.shape[1]), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nt, plan.out_width), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nt, x.shape[1]), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            tbl_spec,
+            tbl_spec,
+        ]
+        + ext_specs
+        + _const_specs(consts),
+        out_specs=[
+            pl.BlockSpec((nt, plan.out_width), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            tbl_spec,
+            pl.BlockSpec((nt, x.shape[1]), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, plan.out_width), jnp.float32),
+            jax.ShapeDtypeStruct((plan.h_total, LANE * plan.f), jnp.float32),
+            jax.ShapeDtypeStruct((b, x.shape[1]), jnp.float32),
+        ],
+        compiler_params=_VMEM_LIMIT,
+    )(x, gy_fm, z, table_packed, ct_table_packed, *ext_args,
+      *_const_args(consts))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _ig_backward(plan, n_params, params, x, gy):
+    """(gparams, gx) = the ig path's backward, as a DIFFERENTIABLE function
+    (public-layout gy). Its own vjp is the bwd-bwd kernel above, so
+    grad-of-grad (eikonal training etc.) works through the Pallas path."""
+    _, to_fmajor = _fmajor_perm(plan)
+    table_packed = repack_table(plan, params)
+    gpacked, gx = _bwd_ig_call(plan, table_packed, x, gy[:, to_fmajor])
+    return unpack_table_grads(plan, gpacked, n_params), gx
+
+
+def _ig_backward_fwd(plan, n_params, params, x, gy):
+    return _ig_backward(plan, n_params, params, x, gy), (params, x, gy)
+
+
+def _ig_backward_bwd(plan, n_params, res, cts):
+    params, x, gy = res
+    ct_gparams, z = cts
+    to_public, to_fmajor = _fmajor_perm(plan)
+    table_packed = repack_table(plan, params)
+    ct_table_packed = repack_table(plan, ct_gparams)
+    ct_gy_fm, gtable2, ct_x = _bwd_bwd_call(
+        plan, table_packed, ct_table_packed, x,
+        gy[:, to_fmajor].astype(jnp.float32), z.astype(jnp.float32),
+    )
+    ct_params = unpack_table_grads(plan, gtable2, n_params)
+    return (
+        ct_params.astype(params.dtype),
+        ct_x.astype(x.dtype),
+        ct_gy_fm[:, to_public].astype(gy.dtype),
+    )
+
+
+_ig_backward.defvjp(_ig_backward_fwd, _ig_backward_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _grid_pallas_ig(plan, n_params, params, x):
     table_packed = repack_table(plan, params)
@@ -839,10 +1111,7 @@ def _grid_pallas_ig_fwd(plan, n_params, params, x):
 
 def _grid_pallas_ig_bwd(plan, n_params, res, gy):
     params, x = res
-    _, to_fmajor = _fmajor_perm(plan)
-    table_packed = repack_table(plan, params)
-    gpacked, gx = _bwd_ig_call(plan, table_packed, x, gy[:, to_fmajor])
-    gparams = unpack_table_grads(plan, gpacked, n_params)
+    gparams, gx = _ig_backward(plan, n_params, params, x, gy)
     return gparams, gx.astype(x.dtype)
 
 
@@ -850,9 +1119,10 @@ _grid_pallas_ig.defvjp(_grid_pallas_ig_fwd, _grid_pallas_ig_bwd)
 
 
 def grid_encode_pallas_ig(plan: GridKernelPlan, params, x):
-    """Like grid_encode_pallas but the backward ALSO produces dL/dx
-    (first-order only; grad-of-grad is not defined through this path -
-    use the XLA oracle for second-order work)."""
+    """Like grid_encode_pallas but the backward ALSO produces dL/dx, and
+    the backward is itself differentiable (the bwd-bwd trio kernel above) -
+    second-order training (eikonal SDF etc.) stays on the Pallas path.
+    Third-order raises; use impl="xla" for arbitrary-order autodiff."""
     b = x.shape[0]
     nt = plan.batch_tile
     padded = -(-b // nt) * nt
