@@ -75,13 +75,21 @@ def main(argv):
         out = model.network.apply(params, xs)[:, :1].astype(jnp.float32)
         data = jnp.mean((out - d) ** 2)
 
-        # eikonal regularizer on a subsample (2nd-order path in training)
+        # eikonal regularizer on a subsample (2nd-order path in training).
+        # prepare_input_gradients=True is REQUIRED for d/dx (the fast
+        # Pallas path's backward only produces input gradients when asked,
+        # same contract as the reference's prepare_input_gradients); the
+        # sum trick gives per-sample grads in ONE batched vjp (outputs are
+        # per-sample independent).
         xe = xs[:1024]
 
-        def f_single(p):
-            return model.network.apply(params, p[None])[0, 0].astype(jnp.float32)
+        def f_batch(pts):
+            out = model.network.apply(
+                params, pts, prepare_input_gradients=True
+            )
+            return jnp.sum(out[:, 0].astype(jnp.float32))
 
-        grads = jax.vmap(jax.grad(f_single))(xe)
+        grads = jax.grad(f_batch)(xe)
         eik = jnp.mean((jnp.linalg.norm(grads, axis=-1) - 1.0) ** 2)
         return data + eik_weight * eik
 

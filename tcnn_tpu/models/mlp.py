@@ -150,10 +150,16 @@ class FullyFusedMLP(CutlassMLP):
         )
         self.use_pallas = use_pallas
 
-    def apply(self, params, x, *, compute_dtype=COMPUTE_DTYPE):
+    def apply(self, params, x, *, compute_dtype=COMPUTE_DTYPE,
+              second_order=False):
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = _pallas_supported()
+        if second_order:
+            # the fused kernel's custom_vjp backward is not differentiable
+            # a second time; the XLA matmul path is (and the MLP is a tiny
+            # fraction of grid-model cost)
+            use_pallas = False
         if use_pallas:
             from ..ops.pallas.mlp_kernel import fused_mlp_apply
 

@@ -78,7 +78,20 @@ class NetworkWithInputEncoding(Network):
         enc_out = self.encoding.apply(
             enc_p, x, compute_dtype=compute_dtype, **kwargs
         )
-        return self.network.apply(net_p, enc_out, compute_dtype=compute_dtype)
+        net_kwargs = {}
+        if prepare_input_gradients:
+            # input-gradient callers are the second-order-prone ones
+            # (eikonal etc.); the FFMLP Pallas kernel differentiates once
+            # only, so give them the arbitrary-order XLA matmul path
+            import inspect
+
+            if "second_order" in inspect.signature(
+                self.network.apply
+            ).parameters:
+                net_kwargs["second_order"] = True
+        return self.network.apply(
+            net_p, enc_out, compute_dtype=compute_dtype, **net_kwargs
+        )
 
     def hyperparams(self):
         return {

@@ -10,7 +10,9 @@ superblocks of R rows. For every batch tile, picks (sample x corner) are
 binned by superblock with an exact, deterministic, fully lane/MXU-friendly
 pipeline - no sort primitive, no atomics, no data-dependent shapes:
 
-  A (bin):    per (tile, level): superblock key k = idx >> log2(R); the
+  A (bin):    per (tile, level): superblock key k = idx & (S-1) (LOW bits
+              - they mix every input dimension under the reference hashes,
+              unlike the top bits; the table is stored permuted); the
               rank of each pick within its (subchunk, k) bin is computed
               with elementwise [256, 256] compare/reduce networks
               (duplicate indices are DEDUPLICATED: they share one slot, so
@@ -94,8 +96,8 @@ class BinnedPlan:
         return self.sub.n_corners * self.nt
 
     @property
-    def log2_r(self):
-        return (self.r_blocks * LANE).bit_length() - 1
+    def log2_s(self):
+        return self.s.bit_length() - 1
 
 
 def make_binned_plan(sub: gk.GridKernelPlan, t_rows: int) -> BinnedPlan | None:
@@ -176,6 +178,30 @@ def grid_encode_split(split: SplitPlan, params, x):
     return jnp.concatenate(parts, axis=1)
 
 
+def repack_binned(bp: BinnedPlan, params):
+    """flat fp32 suffix params -> bf16 [NL*S*r_blocks, F*128], PERMUTED so
+    that superblock k holds the rows {idx : idx & (S-1) == k} (low-bit
+    superblock keys; see the key comment in _bin_kernel). For in-level row
+    idx = a*S + k: packed[(l*S + k)*r_blocks + (a>>7), f*128 + (a&127)]."""
+    NL, S, rb, F = bp.n_levels, bp.s, bp.r_blocks, bp.f
+    R = rb * LANE
+    t = params.reshape(NL, R, S, F)  # [l, a, k, f]
+    t = jnp.swapaxes(t, 1, 2)  # [l, k, a, f]
+    t = t.reshape(NL, S, rb, LANE, F)
+    t = jnp.swapaxes(t, 3, 4)  # [l, k, a_hi, f, a_lo]
+    return t.reshape(NL * S * rb, F * LANE).astype(jnp.bfloat16)
+
+
+def unpack_binned_grads(bp: BinnedPlan, packed):
+    """inverse of repack_binned: [NL*S*rb, F*128] f32 -> flat fp32."""
+    NL, S, rb, F = bp.n_levels, bp.s, bp.r_blocks, bp.f
+    t = packed.reshape(NL, S, rb, F, LANE)
+    t = jnp.swapaxes(t, 3, 4)  # [l, k, a_hi, a_lo, f]
+    t = t.reshape(NL, S, rb * LANE, F)
+    t = jnp.swapaxes(t, 1, 2)  # [l, a, k, f]
+    return t.reshape(-1)
+
+
 # ---------------------------------------------------------------------------
 # Kernel A: bin picks -> slabs (hi5+1, lo7) + per-pick ranks
 # ---------------------------------------------------------------------------
@@ -200,7 +226,7 @@ def _per_subchunk_rows(row_vals, n_sub):
     )
 
 
-def _rank_level(idx_col, idx_row_l, onehot_k, n_sub, q_row, pos, key_shift):
+def _rank_level(idx_col, idx_row_l, onehot_k, n_sub, q_row, pos, key_mask):
     """Dedup-aware slot ranks for ALL picks of one level at once.
 
     idx_col [G, 1] i32; idx_row_l [1, G] i32 (same values, row form);
@@ -223,9 +249,7 @@ def _rank_level(idx_col, idx_row_l, onehot_k, n_sub, q_row, pos, key_shift):
     # rank = number of slots (first occurrences with the same superblock
     # key - equal idx implies equal key, so compare keys of the rhs rows)
     # opened strictly before the representative
-    keq = ((idx_col >> key_shift) == (rhs_idx >> key_shift)).astype(
-        jnp.float32
-    )
+    keq = ((idx_col & key_mask) == (rhs_idx & key_mask)).astype(jnp.float32)
     before = (q_row < qmin).astype(jnp.float32)
     open_rhs = _per_subchunk_rows(jnp.transpose(first), n_sub)  # [G, 256]
     r = jnp.sum(before * keq * open_rhs, axis=1, keepdims=True)  # [G, 1]
@@ -269,8 +293,14 @@ def _bin_kernel(x_ref, *rest, bp: BinnedPlan):
 
     idx_all, _ = _stacked_level_indices(bp, x_ref[:], cr)
     idx_all_t = jnp.transpose(idx_all)  # [NL, G] - ONE transpose per tile
-    k_all = idx_all >> bp.log2_r  # [G, NL] superblock keys
-    lo_all = idx_all & (bp.r_blocks * LANE - 1)
+    # superblock key = LOW index bits: CoherentPrime's dim-0 factor is 1
+    # (common_device.h:649), so at coarse levels the hash's TOP bits are
+    # independent of cell_0 and whole tiles would pile into a few
+    # superblocks (measured: cap overflows at T=2^19 level 6). Low bits
+    # mix every dimension; the table is stored permuted to match
+    # (repack_binned).
+    k_all = idx_all & (bp.s - 1)  # [G, NL] superblock keys
+    lo_all = idx_all >> bp.log2_s  # row within superblock, < R
     hi5_all = lo_all >> 7
     lo7_all = lo_all & (LANE - 1)
 
@@ -291,7 +321,7 @@ def _bin_kernel(x_ref, *rest, bp: BinnedPlan):
         onehot_k = (k_col == iota_s).astype(jnp.float32)  # [G, S]
         rank_col, first_col = _rank_level(
             idx_col, idx_all_t[l : l + 1, :], onehot_k, n_sub, q_row, pos,
-            bp.log2_r,
+            bp.s - 1,
         )
         rk_cols.append(rank_col.astype(jnp.int32))
 
@@ -457,7 +487,7 @@ def _combine_kernel(x_ref, rk_ref, feats_ref, *rest, bp: BinnedPlan):
     C, nt = bp.sub.n_corners, bp.nt
 
     idx_all, cw_all = _stacked_level_indices(bp, x_ref[:], cr)
-    k_all = idx_all >> bp.log2_r
+    k_all = idx_all & (bp.s - 1)
     ranks = rk_ref[:]  # [G, NL] i32
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
     iota_cap = jax.lax.broadcasted_iota(jnp.int32, (G, cap), 1)
@@ -514,7 +544,7 @@ def _place_kernel(x_ref, rk_ref, gy_ref, *rest, bp: BinnedPlan):
     C = bp.sub.n_corners
 
     idx_all, cw_all = _stacked_level_indices(bp, x_ref[:], cr)
-    k_all = idx_all >> bp.log2_r
+    k_all = idx_all & (bp.s - 1)
     ranks = rk_ref[:]
     gy = gy_ref[:].astype(jnp.float32)  # [nt, NL*F] l-major f-minor
     gy_c = jnp.concatenate([gy] * C, axis=0)  # [G, NL*F]
@@ -656,14 +686,14 @@ def _scatter_call(bp: BinnedPlan, sh, sl, sv):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _binned(bp, n_params, params, x):
-    table_packed = gk.repack_table(bp.sub, params)
+    table_packed = repack_binned(bp, params)
     sh, sl, ranks = _bin_call(bp, x)
     feats = _gather_call(bp, sh, sl, table_packed)
     return _combine_call(bp, x, ranks, feats)
 
 
 def _binned_fwd(bp, n_params, params, x):
-    table_packed = gk.repack_table(bp.sub, params)
+    table_packed = repack_binned(bp, params)
     sh, sl, ranks = _bin_call(bp, x)
     feats = _gather_call(bp, sh, sl, table_packed)
     y = _combine_call(bp, x, ranks, feats)
@@ -674,9 +704,7 @@ def _binned_bwd(bp, n_params, res, gy):
     x, sh, sl, ranks = res
     sv = _place_call(bp, x, ranks, gy.astype(jnp.float32))
     gpacked = _scatter_call(bp, sh, sl, sv)
-    # [NL*S*rb, 128F] -> the sub-plan's packed layout [NL*h, 128F] is the
-    # same array (h = S*rb), so unpack directly
-    gparams = gk.unpack_table_grads(bp.sub, gpacked, n_params)
+    gparams = unpack_binned_grads(bp, gpacked)
     # dL/dx intentionally zero (same contract as grid_encode_pallas)
     return gparams, jnp.zeros_like(x)
 
