@@ -66,15 +66,29 @@ def main():
     h, w = image.shape[:2]
     quad = jax.jit(build_quad_table)(jnp.asarray(image))
 
-    def bench_step(state, quad, key):
-        key, k = jax.random.split(key)
-        xy = jax.random.uniform(k, (BATCH_SIZE, 2))
-        rgb = sample_image_quad(quad, h, w, xy)
-        state, loss = trainer.train_step_fn(state, xy, rgb)
-        return state, key, loss
+    # SCAN_STEPS steps per dispatch: the analog of the reference's CUDA
+    # graph (trainer.h:176-183) - one launch covers many steps, so the
+    # per-dispatch host/tunnel overhead (~4 ms measured) doesn't taint the
+    # throughput measurement. NOTE: quad must be a jit ARGUMENT (a closed-
+    # over 48 MB constant overflows the axon compile request).
+    SCAN_STEPS = 10
 
-    _step = jax.jit(bench_step, donate_argnums=(0,))
-    step = lambda state, key: _step(state, quad, key)
+    def multi_step(state, key, quad_arg):
+        def bench_step(carry, _):
+            st, k0 = carry
+            k0, k = jax.random.split(k0)
+            xy = jax.random.uniform(k, (BATCH_SIZE, 2))
+            rgb = sample_image_quad(quad_arg, h, w, xy)
+            st, loss = trainer.train_step_fn(st, xy, rgb)
+            return (st, k0), loss
+
+        (state, key), losses = jax.lax.scan(
+            bench_step, (state, key), None, length=SCAN_STEPS
+        )
+        return state, key, losses[-1]
+
+    _step = jax.jit(multi_step, donate_argnums=(0,))
+    step = lambda state, key: _step(state, key, quad)
 
     state = trainer.state
     key = jax.random.PRNGKey(1337)
@@ -84,17 +98,18 @@ def main():
     jax.block_until_ready(loss)
     compile_s = time.time() - t_compile
 
-    for _ in range(WARMUP_STEPS - 1):
+    for _ in range(WARMUP_STEPS // SCAN_STEPS):
         state, key, loss = step(state, key)
     jax.block_until_ready(loss)
+    np.asarray(loss)  # real sync (block_until_ready is unreliable on axon)
 
     t0 = time.time()
-    for _ in range(TIMED_STEPS):
+    for _ in range(TIMED_STEPS // SCAN_STEPS):
         state, key, loss = step(state, key)
-    jax.block_until_ready(loss)
+    np.asarray(loss)
     dt = time.time() - t0
 
-    steps_per_sec = TIMED_STEPS / dt
+    steps_per_sec = (TIMED_STEPS // SCAN_STEPS) * SCAN_STEPS / dt
     samples_per_sec = steps_per_sec * BATCH_SIZE
     final_loss = float(loss)
 

@@ -1023,9 +1023,12 @@ def _bwd_bwd_kernel(x_ref, gy_ref, z_ref, table_ref, ct_table_ref,
 
 def _bwd_bwd_call(plan, table_packed, ct_table_packed, x, gy_fm, z):
     b = x.shape[0]
-    nt = plan.batch_tile
+    # the second-order kernel keeps ~3x more per-corner intermediates live
+    # than the first-order backward (two tables + Hessian pieces) - run a
+    # smaller batch tile to stay inside VMEM
+    nt = max(plan.batch_tile // (8 if plan.d >= 3 else 4), 128)
     consts = _plan_constants(plan)
-    ext_specs, ext_args = _ext_specs_args(plan, x)
+    ext_specs, ext_args = _ext_specs_args(plan, x, nt=nt)
     tbl_spec = pl.BlockSpec(
         (plan.h_total, LANE * plan.f), lambda g: (0, 0),
         memory_space=pltpu.VMEM,
@@ -1139,11 +1142,11 @@ def grid_encode_pallas_ig(plan: GridKernelPlan, params, x):
 _VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
 
 
-def _ext_specs_args(plan: GridKernelPlan, x):
+def _ext_specs_args(plan: GridKernelPlan, x, nt=None):
     """Optional precomputed-hash kernel input (HashType.Rng)."""
     if not plan.ext_hash:
         return [], []
-    nt = plan.batch_tile
+    nt = plan.batch_tile if nt is None else nt
     w = plan.n_corners * plan.n_levels
     spec = pl.BlockSpec((nt, w), lambda g: (g, 0), memory_space=pltpu.VMEM)
     return [spec], [compute_ext_hash(plan, x)]
