@@ -240,6 +240,9 @@ def _rank_level(idx_col, idx_row_l, onehot_k, n_sub, q_row, pos, key_mask):
     overflowing. Elementwise only - no matmuls, no per-subchunk loops.
     """
     g = idx_col.shape[0]
+    # NOTE: these rank networks must stay f32 - v5e Mosaic supports
+    # neither bf16 comparisons ("Target does not support this comparison")
+    # nor 32-bit bool masks feeding 16-bit selects (invalid relayout)
     rhs_idx = _per_subchunk_rows(idx_row_l, n_sub)  # [G, 256]
     eq = (idx_col == rhs_idx).astype(jnp.float32)
     # position of each pick's representative (first occurrence of its idx)
