@@ -126,6 +126,7 @@ class SplitPlan:
     dense: gk.GridKernelPlan | None  # levels [0, l0) - VMEM one-hot kernels
     binned: BinnedPlan  # levels [l0, L) - equal-size large tables
     n_prefix_params: int
+    n_prefix_levels: int
 
 
 def split_plan_for(enc) -> SplitPlan | None:
@@ -135,8 +136,6 @@ def split_plan_for(enc) -> SplitPlan | None:
     size equals the max size (for HashGrid: every level that hit the
     2^log2_hashmap_size cap, grid.h:685-730) - identical power-of-two
     sizes are what lets one (level, superblock) grid serve them all."""
-    if enc.stochastic_interpolation:
-        return None  # single-corner binned scatter: not yet implemented
     sizes = [int(s) for s in enc._sizes[: enc.n_levels]]
     max_size = max(sizes)
     if max_size < MIN_BINNED_ROWS or (max_size & (max_size - 1)) != 0:
@@ -161,18 +160,32 @@ def split_plan_for(enc) -> SplitPlan | None:
         dense=dense,
         binned=bp,
         n_prefix_params=int(enc._offsets[l0]) * enc.n_features_per_level,
+        n_prefix_levels=l0,
     )
 
 
 def grid_encode_split(split: SplitPlan, params, x):
     """Full-encoding forward through dense-prefix + binned-suffix kernels;
     output columns are level-major (prefix levels first), matching the
-    public layout."""
+    public layout. For stochastic interpolation, ONE full-width corner
+    uniform draw is sliced across the sub-plans so chosen corners match
+    the XLA path level-for-level."""
     n_pre = split.n_prefix_params
+    l0 = split.n_prefix_levels
+    u_pre = u_suf = None
+    if split.binned.sub.stochastic:
+        from ..encodings.grid import stochastic_uniforms
+
+        u_full = stochastic_uniforms(
+            x.shape[0], l0 + split.binned.n_levels
+        )
+        u_pre, u_suf = u_full[:, :l0], u_full[:, l0:]
     parts = []
     if split.dense is not None:
-        parts.append(gk.grid_encode_pallas(split.dense, params[:n_pre], x))
-    parts.append(grid_encode_binned(split.binned, params[n_pre:], x))
+        parts.append(
+            gk.grid_encode_pallas(split.dense, params[:n_pre], x, u=u_pre)
+        )
+    parts.append(grid_encode_binned(split.binned, params[n_pre:], x, u=u_suf))
     if len(parts) == 1:
         return parts[0]
     return jnp.concatenate(parts, axis=1)
@@ -541,10 +554,14 @@ def _combine_call(bp: BinnedPlan, x, ranks, feats):
 
 
 def _place_kernel(x_ref, rk_ref, gy_ref, *rest, bp: BinnedPlan):
+    if bp.sub.stochastic:
+        u_ref = rest[0]
+        rest = rest[1:]
     const_refs, sv_ref = rest[:-1], rest[-1]
     cr = {n: ref[:] for n, ref in zip(gk._CONST_NAMES, const_refs)}
     NL, S, cap, F, G = bp.n_levels, bp.s, bp.cap, bp.f, bp.g
     C = bp.sub.n_corners
+    D = bp.sub.d
 
     idx_all, cw_all = _stacked_level_indices(bp, x_ref[:], cr)
     k_all = idx_all & (bp.s - 1)
@@ -554,6 +571,27 @@ def _place_kernel(x_ref, rk_ref, gy_ref, *rest, bp: BinnedPlan):
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
     iota_cap = jax.lax.broadcasted_iota(jnp.int32, (G, cap), 1)
 
+    sel_c = None
+    if bp.sub.stochastic:
+        # single-corner scatter (grid.h:284-299): the chosen corner gets
+        # the FULL dL/dy (weight 1); other corners contribute nothing. The
+        # chosen corner's slot always exists (it was binned in A).
+        _, w = gk._positions(bp.sub, x_ref[:], cr)
+        u = u_ref[:]  # [nt, NL]
+        u_dl = jnp.concatenate([u] * D, axis=1)
+        bits = (u_dl < w).astype(jnp.int32)
+        corner_id = None  # [nt, NL]
+        for d in range(D):
+            contrib = bits[:, d * NL : (d + 1) * NL] << d
+            corner_id = contrib if corner_id is None else corner_id | contrib
+        sel_c = jnp.concatenate(
+            [
+                (corner_id == c).astype(jnp.float32)
+                for c in range(C)
+            ],
+            axis=0,
+        )  # [G, NL]
+
     rows = []
     for l in range(NL):
         ok_bf = (k_all[:, l : l + 1] == iota_s).astype(jnp.bfloat16)
@@ -561,7 +599,9 @@ def _place_kernel(x_ref, rk_ref, gy_ref, *rest, bp: BinnedPlan):
         per_f = []
         for f in range(F):
             v = gy_c[:, l * F + f : l * F + f + 1]
-            if cw_all is not None:
+            if sel_c is not None:
+                v = v * sel_c[:, l : l + 1]
+            elif cw_all is not None:
                 v = v * cw_all[:, l : l + 1]
             rhs = (ohrank * v).astype(jnp.bfloat16)  # [G, cap]
             per_f.append(
@@ -575,10 +615,15 @@ def _place_kernel(x_ref, rk_ref, gy_ref, *rest, bp: BinnedPlan):
     sv_ref[0] = jnp.concatenate(rows, axis=0).astype(jnp.float32)
 
 
-def _place_call(bp: BinnedPlan, x, ranks, gy):
+def _place_call(bp: BinnedPlan, x, ranks, gy, u=None):
     n_tiles = x.shape[0] // bp.nt
     NL, S, cap, F, G = bp.n_levels, bp.s, bp.cap, bp.f, bp.g
     consts = gk._plan_constants(bp.sub)
+    u_specs, u_args = [], []
+    if bp.sub.stochastic:
+        u_specs = [pl.BlockSpec((bp.nt, NL), lambda t: (t, 0),
+                                memory_space=pltpu.VMEM)]
+        u_args = [u]
     return pl.pallas_call(
         functools.partial(_place_kernel, bp=bp),
         grid=(n_tiles,),
@@ -589,13 +634,14 @@ def _place_call(bp: BinnedPlan, x, ranks, gy):
             pl.BlockSpec((bp.nt, NL * F), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
         ]
+        + u_specs
         + gk._const_specs(consts),
         out_specs=pl.BlockSpec((1, NL * S, F * cap), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, NL * S, F * cap),
                                        jnp.float32),
         compiler_params=gk._VMEM_LIMIT,
-    )(x, ranks, gy, *gk._const_args(consts))
+    )(x, ranks, gy, *u_args, *gk._const_args(consts))
 
 
 # ---------------------------------------------------------------------------
@@ -688,41 +734,52 @@ def _scatter_call(bp: BinnedPlan, sh, sl, sv):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _binned(bp, n_params, params, x):
+def _binned(bp, n_params, params, x, u):
     table_packed = repack_binned(bp, params)
     sh, sl, ranks = _bin_call(bp, x)
     feats = _gather_call(bp, sh, sl, table_packed)
     return _combine_call(bp, x, ranks, feats)
 
 
-def _binned_fwd(bp, n_params, params, x):
+def _binned_fwd(bp, n_params, params, x, u):
     table_packed = repack_binned(bp, params)
     sh, sl, ranks = _bin_call(bp, x)
     feats = _gather_call(bp, sh, sl, table_packed)
     y = _combine_call(bp, x, ranks, feats)
-    return y, (x, sh, sl, ranks)
+    return y, (x, sh, sl, ranks, u)
 
 
 def _binned_bwd(bp, n_params, res, gy):
-    x, sh, sl, ranks = res
-    sv = _place_call(bp, x, ranks, gy.astype(jnp.float32))
+    x, sh, sl, ranks, u = res
+    sv = _place_call(bp, x, ranks, gy.astype(jnp.float32), u=u)
     gpacked = _scatter_call(bp, sh, sl, sv)
     gparams = unpack_binned_grads(bp, gpacked)
     # dL/dx intentionally zero (same contract as grid_encode_pallas)
-    return gparams, jnp.zeros_like(x)
+    return gparams, jnp.zeros_like(x), jnp.zeros_like(u)
 
 
 _binned.defvjp(_binned_fwd, _binned_bwd)
 
 
-def grid_encode_binned(bp: BinnedPlan, params, x):
+def grid_encode_binned(bp: BinnedPlan, params, x, u=None):
     """[B, D] fp32 -> [B, NL*F] bf16 for the binned (large-table) levels.
     Pads the batch to the tile size and trims; backward produces table
-    gradients only."""
+    gradients only. `u` [B, NL]: per-(sample, level) corner uniforms for
+    stochastic interpolation (grid_encode_split slices them from the
+    full-width draw so corners match the XLA path level-for-level)."""
     b = x.shape[0]
     nt = bp.nt
     padded = -(-b // nt) * nt
+    if bp.sub.stochastic:
+        if u is None:
+            from ..encodings.grid import stochastic_uniforms
+
+            u = stochastic_uniforms(b, bp.n_levels)
+        if padded != b:
+            u = jnp.pad(u, ((0, padded - b), (0, 0)), constant_values=2.0)
+    else:
+        u = jnp.zeros((1, 1), jnp.float32)  # unused placeholder
     if padded != b:
         x = jnp.pad(x, ((0, padded - b), (0, 0)))
-    y = _binned(bp, int(params.shape[0]), params, x)
+    y = _binned(bp, int(params.shape[0]), params, x, u)
     return y[:b]

@@ -1259,14 +1259,19 @@ def stochastic_u_padded(b: int, padded: int, n_levels: int):
     return u
 
 
-def grid_encode_pallas(plan: GridKernelPlan, params, x):
+def grid_encode_pallas(plan: GridKernelPlan, params, x, u=None):
     """[B, D] fp32 -> [B, L*F] bf16 via the Pallas kernels. Pads the batch to
-    the kernel tile and trims."""
+    the kernel tile and trims. `u` [B, L]: caller-supplied corner uniforms
+    (used by grid_encode_split to keep the sliced levels' corners
+    consistent with the full-width draw)."""
     b = x.shape[0]
     nt = plan.batch_tile
     padded = -(-b // nt) * nt
     if plan.stochastic:
-        u = stochastic_u_padded(b, padded, plan.n_levels)
+        if u is None:
+            u = stochastic_u_padded(b, padded, plan.n_levels)
+        elif padded != b:
+            u = jnp.pad(u, ((0, padded - b), (0, 0)), constant_values=2.0)
     else:
         u = jnp.zeros((1, 1), jnp.float32)  # unused placeholder
     if padded != b:

@@ -178,3 +178,33 @@ def test_dispatch_selects_binned():
     assert enc._kernel_plan() is None or True  # small enough? ensure split
     split = enc._binned_split()
     assert split is not None
+
+
+def test_binned_stochastic_matches_xla():
+    """Stochastic interpolation on the binned path: the chosen-corner
+    scatter (weight 1) must hit the SAME corners as the XLA stochastic
+    path - the full-width corner uniforms are sliced across dense-prefix
+    and binned sub-plans level-for-level, so gradients agree exactly up
+    to bf16 scatter rounding."""
+    enc = _enc(stochastic_interpolation=True)
+    split = enc._binned_split()
+    assert split is not None and split.binned.sub.stochastic
+    rng = np.random.default_rng(5)
+    params = jnp.asarray(rng.uniform(-1, 1, enc.n_params), jnp.float32)
+    x = jnp.asarray(rng.uniform(0.02, 0.98, (160, 2)), jnp.float32)
+    gy = jnp.asarray(rng.normal(size=(160, enc.n_output_dims)), jnp.float32)
+
+    def loss_bin(p):
+        return jnp.sum(bk.grid_encode_split(split, p, x).astype(jnp.float32) * gy)
+
+    with pltpu.force_tpu_interpret_mode():
+        g_bin = np.asarray(jax.grad(loss_bin)(params))
+
+    def loss_ref(p):
+        y = enc._apply_stochastic(p, x, jnp.float32, None,
+                                  needs_input_grad=False)
+        return jnp.sum(y.astype(jnp.float32) * gy)
+
+    g_ref = np.asarray(jax.grad(loss_ref)(params))
+    scale = np.abs(g_ref).max() + 1e-9
+    np.testing.assert_allclose(g_bin / scale, g_ref / scale, atol=2e-2)
