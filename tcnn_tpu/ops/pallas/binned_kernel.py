@@ -146,8 +146,8 @@ def split_plan_for(enc) -> SplitPlan | None:
     if l0 >= enc.n_levels:
         return None
     sub = gk.build_plan(enc, l0, enc.n_levels)
-    if sub is None or sub.ext_hash:
-        return None  # Rng-hash binned path not plumbed yet
+    if sub is None:
+        return None
     bp = make_binned_plan(sub, max_size)
     if bp is None:
         return None
@@ -287,13 +287,14 @@ def _rank_level(idx_col, idx_row_l, onehot_k, n_sub, q_row, pos, key_mask):
     return r + off_p, first
 
 
-def _stacked_level_indices(bp: BinnedPlan, x, cr):
+def _stacked_level_indices(bp: BinnedPlan, x, cr, ext=None):
     """Corner-stacked per-level indices and weights: idx [G, NL] i32,
     cw [G, NL] f32 (or None for Nearest). Same pick ordering (corner-major)
-    everywhere (A, C, P)."""
+    everywhere (A, C, P). `ext` [nt, C*NL]: precomputed Rng-hash values
+    (HashType.Rng, same contract as the dense kernels)."""
     sub = bp.sub
     cells, w = gk._positions(sub, x, cr)
-    per_corner = gk._corner_indices_and_weights(sub, cells, w, cr)
+    per_corner = gk._corner_indices_and_weights(sub, cells, w, cr, ext=ext)
     idx = jnp.concatenate([i for i, _ in per_corner], axis=0)  # [G, NL]
     if per_corner[0][1] is None:
         return idx, None
@@ -302,12 +303,17 @@ def _stacked_level_indices(bp: BinnedPlan, x, cr):
 
 
 def _bin_kernel(x_ref, *rest, bp: BinnedPlan):
+    if bp.sub.ext_hash:
+        ext_ref = rest[0]
+        rest = rest[1:]
     const_refs = rest[: len(gk._CONST_NAMES)]
     sh_ref, sl_ref, rk_ref = rest[len(gk._CONST_NAMES):]
     cr = {n: ref[:] for n, ref in zip(gk._CONST_NAMES, const_refs)}
     NL, S, cap, G = bp.n_levels, bp.s, bp.cap, bp.g
 
-    idx_all, _ = _stacked_level_indices(bp, x_ref[:], cr)
+    idx_all, _ = _stacked_level_indices(
+        bp, x_ref[:], cr, ext=ext_ref[:] if bp.sub.ext_hash else None
+    )
     idx_all_t = jnp.transpose(idx_all)  # [NL, G] - ONE transpose per tile
     # superblock key = LOW index bits: CoherentPrime's dim-0 factor is 1
     # (common_device.h:649), so at coarse levels the hash's TOP bits are
@@ -367,10 +373,21 @@ def _bin_kernel(x_ref, *rest, bp: BinnedPlan):
     rk_ref[:] = jnp.concatenate(rk_cols, axis=1)  # [G, NL]
 
 
+def _ext_specs_args(bp: BinnedPlan, x):
+    """Optional precomputed-hash kernel input for the binned kernels."""
+    if not bp.sub.ext_hash:
+        return [], []
+    w = bp.sub.n_corners * bp.n_levels
+    spec = pl.BlockSpec((bp.nt, w), lambda t: (t, 0),
+                        memory_space=pltpu.VMEM)
+    return [spec], [gk.compute_ext_hash(bp.sub, x)]
+
+
 def _bin_call(bp: BinnedPlan, x):
     n_tiles = x.shape[0] // bp.nt
     NL, S, cap, G = bp.n_levels, bp.s, bp.cap, bp.g
     consts = gk._plan_constants(bp.sub)
+    ext_specs, ext_args = _ext_specs_args(bp, x)
     return pl.pallas_call(
         functools.partial(_bin_kernel, bp=bp),
         grid=(n_tiles,),
@@ -378,6 +395,7 @@ def _bin_call(bp: BinnedPlan, x):
             pl.BlockSpec((bp.nt, x.shape[1]), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
         ]
+        + ext_specs
         + gk._const_specs(consts),
         out_specs=[
             pl.BlockSpec((1, NL * S, cap), lambda t: (t, 0, 0),
@@ -392,7 +410,7 @@ def _bin_call(bp: BinnedPlan, x):
             jax.ShapeDtypeStruct((n_tiles * G, NL), jnp.int32),
         ],
         compiler_params=gk._VMEM_LIMIT,
-    )(x, *gk._const_args(consts))
+    )(x, *ext_args, *gk._const_args(consts))
 
 
 # ---------------------------------------------------------------------------
@@ -497,12 +515,17 @@ def _gather_call(bp: BinnedPlan, sh, sl, table_packed):
 
 
 def _combine_kernel(x_ref, rk_ref, feats_ref, *rest, bp: BinnedPlan):
+    if bp.sub.ext_hash:
+        ext_ref = rest[0]
+        rest = rest[1:]
     const_refs, y_ref = rest[:-1], rest[-1]
     cr = {n: ref[:] for n, ref in zip(gk._CONST_NAMES, const_refs)}
     NL, S, cap, F, G = bp.n_levels, bp.s, bp.cap, bp.f, bp.g
     C, nt = bp.sub.n_corners, bp.nt
 
-    idx_all, cw_all = _stacked_level_indices(bp, x_ref[:], cr)
+    idx_all, cw_all = _stacked_level_indices(
+        bp, x_ref[:], cr, ext=ext_ref[:] if bp.sub.ext_hash else None
+    )
     k_all = idx_all & (bp.s - 1)
     ranks = rk_ref[:]  # [G, NL] i32
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
@@ -530,6 +553,7 @@ def _combine_call(bp: BinnedPlan, x, ranks, feats):
     feats = jnp.swapaxes(feats, 0, 1)  # -> tile-major [n_tiles, NL*S, F*cap]
     NL, S, cap, F, G = bp.n_levels, bp.s, bp.cap, bp.f, bp.g
     consts = gk._plan_constants(bp.sub)
+    ext_specs, ext_args = _ext_specs_args(bp, x)
     return pl.pallas_call(
         functools.partial(_combine_kernel, bp=bp),
         grid=(n_tiles,),
@@ -540,12 +564,13 @@ def _combine_call(bp: BinnedPlan, x, ranks, feats):
             pl.BlockSpec((1, NL * S, F * cap), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
+        + ext_specs
         + gk._const_specs(consts),
         out_specs=pl.BlockSpec((bp.nt, NL * F), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((x.shape[0], NL * F), jnp.bfloat16),
         compiler_params=gk._VMEM_LIMIT,
-    )(x, ranks, feats, *gk._const_args(consts))
+    )(x, ranks, feats, *ext_args, *gk._const_args(consts))
 
 
 # ---------------------------------------------------------------------------
@@ -554,6 +579,9 @@ def _combine_call(bp: BinnedPlan, x, ranks, feats):
 
 
 def _place_kernel(x_ref, rk_ref, gy_ref, *rest, bp: BinnedPlan):
+    if bp.sub.ext_hash:
+        ext_ref = rest[0]
+        rest = rest[1:]
     if bp.sub.stochastic:
         u_ref = rest[0]
         rest = rest[1:]
@@ -563,7 +591,9 @@ def _place_kernel(x_ref, rk_ref, gy_ref, *rest, bp: BinnedPlan):
     C = bp.sub.n_corners
     D = bp.sub.d
 
-    idx_all, cw_all = _stacked_level_indices(bp, x_ref[:], cr)
+    idx_all, cw_all = _stacked_level_indices(
+        bp, x_ref[:], cr, ext=ext_ref[:] if bp.sub.ext_hash else None
+    )
     k_all = idx_all & (bp.s - 1)
     ranks = rk_ref[:]
     gy = gy_ref[:].astype(jnp.float32)  # [nt, NL*F] l-major f-minor
@@ -619,6 +649,7 @@ def _place_call(bp: BinnedPlan, x, ranks, gy, u=None):
     n_tiles = x.shape[0] // bp.nt
     NL, S, cap, F, G = bp.n_levels, bp.s, bp.cap, bp.f, bp.g
     consts = gk._plan_constants(bp.sub)
+    ext_specs, ext_args = _ext_specs_args(bp, x)
     u_specs, u_args = [], []
     if bp.sub.stochastic:
         u_specs = [pl.BlockSpec((bp.nt, NL), lambda t: (t, 0),
@@ -634,6 +665,7 @@ def _place_call(bp: BinnedPlan, x, ranks, gy, u=None):
             pl.BlockSpec((bp.nt, NL * F), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
         ]
+        + ext_specs
         + u_specs
         + gk._const_specs(consts),
         out_specs=pl.BlockSpec((1, NL * S, F * cap), lambda t: (t, 0, 0),
@@ -641,7 +673,7 @@ def _place_call(bp: BinnedPlan, x, ranks, gy, u=None):
         out_shape=jax.ShapeDtypeStruct((n_tiles, NL * S, F * cap),
                                        jnp.float32),
         compiler_params=gk._VMEM_LIMIT,
-    )(x, ranks, gy, *u_args, *gk._const_args(consts))
+    )(x, ranks, gy, *ext_args, *u_args, *gk._const_args(consts))
 
 
 # ---------------------------------------------------------------------------

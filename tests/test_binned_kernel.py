@@ -208,3 +208,40 @@ def test_binned_stochastic_matches_xla():
     g_ref = np.asarray(jax.grad(loss_ref)(params))
     scale = np.abs(g_ref).max() + 1e-9
     np.testing.assert_allclose(g_bin / scale, g_ref / scale, atol=2e-2)
+
+
+def test_binned_rng_hash_matches_oracle():
+    """HashType.Rng on the binned path: the PCG32-advance hashes are
+    precomputed outside the kernels (same contract as the dense kernels)
+    and must reproduce the XLA oracle's forward and gradients."""
+    from tcnn_tpu.common import HashType
+
+    enc = _enc(hash_type=HashType.Rng)
+    split = enc._binned_split()
+    assert split is not None and split.binned.sub.ext_hash
+    rng = np.random.default_rng(6)
+    params = jnp.asarray(rng.uniform(-1, 1, enc.n_params), jnp.float32)
+    x = jnp.asarray(rng.uniform(0.02, 0.98, (128, 2)), jnp.float32)
+    gy = jnp.asarray(rng.normal(size=(128, enc.n_output_dims)), jnp.float32)
+
+    y_ref = np.asarray(
+        enc.apply_unpadded(params, x, compute_dtype=jnp.float32, impl="xla")
+    )
+    with pltpu.force_tpu_interpret_mode():
+        y_bin = np.asarray(bk.grid_encode_split(split, params, x), np.float32)
+    np.testing.assert_allclose(y_bin, y_ref, atol=2e-2, rtol=2e-2)
+
+    def loss_bin(p):
+        return jnp.sum(bk.grid_encode_split(split, p, x).astype(jnp.float32) * gy)
+
+    def loss_ref(p):
+        return jnp.sum(
+            enc.apply_unpadded(p, x, compute_dtype=jnp.float32, impl="xla")
+            .astype(jnp.float32) * gy
+        )
+
+    with pltpu.force_tpu_interpret_mode():
+        g_bin = np.asarray(jax.grad(loss_bin)(params))
+    g_ref = np.asarray(jax.grad(loss_ref)(params))
+    scale = np.abs(g_ref).max() + 1e-9
+    np.testing.assert_allclose(g_bin / scale, g_ref / scale, atol=2e-2)
