@@ -90,10 +90,27 @@ class Module:
         )
         return y, vjp
 
-    def bwd(self, vjp, dL_dy):
+    def bwd(self, vjp, dL_dy, gradient_mode=None, param_grads=None):
         """(dL_dparams, dL_dinput) - the reference returns (input, params)
-        grads from Module::bwd (bindings.cpp:112-171)."""
+        grads from Module::bwd (bindings.cpp:112-171).
+
+        `gradient_mode` implements the reference's GradientMode semantics
+        (object.h:115-119, applied at object.h:219-276) functionally:
+        Overwrite (default) returns fresh parameter gradients; Accumulate
+        adds them into `param_grads` (the reference's +=-into-buffer);
+        Ignore returns None for the parameter gradients."""
+        from .common import GradientMode
+
         dparams, dx = vjp(dL_dy)
+        mode = GradientMode.Overwrite if gradient_mode is None else gradient_mode
+        if mode == GradientMode.Ignore:
+            return None, dx
+        if mode == GradientMode.Accumulate:
+            if param_grads is None:
+                raise ValueError(
+                    "GradientMode.Accumulate requires param_grads to add into"
+                )
+            return param_grads + dparams, dx
         return dparams, dx
 
     @property

@@ -111,6 +111,7 @@ class GridEncoding(Encoding):
         max_level: float | None = None,
         seed: int = 1337,
         fast_input_grads: bool = True,
+        warn_binned_drops: bool = False,
     ):
         if n_dims_to_encode not in (2, 3, 4):
             raise ValueError("GridEncoding supports 2, 3, or 4 input dims")
@@ -134,6 +135,10 @@ class GridEncoding(Encoding):
         self.max_level = max_level
         self.seed = int(seed)
         self.fast_input_grads = bool(fast_input_grads)
+        #: opt-in runtime detection of binned-path cap overflow: logs a
+        #: warning per step with a nonzero dropped-pick count (costs one
+        #: scalar D2H per step; see binned_kernel._maybe_warn)
+        self.warn_binned_drops = bool(warn_binned_drops)
 
         # Offset table (grid.h:685-730): per-level sizes, 8-aligned, capped by
         # grid type; all in units of feature *vectors* (not scalars).
@@ -199,6 +204,21 @@ class GridEncoding(Encoding):
 
             self._binned_split_cache = split_plan_for(self)
         return self._binned_split_cache
+
+    def count_binned_drops(self, x) -> int:
+        """Exact dropped-pick count for one batch on the binned
+        (large-table) path - the runtime check behind the docstring's
+        ~2e-11 overflow bound (binned_kernel.py). Returns 0 when the
+        config has no binned suffix. A nonzero count means `x`'s
+        distribution overflowed a superblock cap and that many
+        (sample, corner, level) contributions would be dropped in both
+        the forward and the gradient."""
+        split = self._binned_split()
+        if split is None:
+            return 0
+        from ..pallas.binned_kernel import count_drops
+
+        return count_drops(split, jnp.asarray(x, jnp.float32))
 
     def _warn_fallback(self):
         if getattr(self, "_warned_fallback", False):

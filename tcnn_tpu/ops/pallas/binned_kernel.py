@@ -82,6 +82,8 @@ class BinnedPlan:
     r_blocks: int  # 128-row blocks per superblock (R = r_blocks*128)
     cap: int  # slots per (tile, superblock)
     nt: int  # samples per batch tile (G = C*nt picks)
+    #: opt-in: log_warning via jax.debug.callback when picks are dropped
+    warn_drops: bool = False
 
     @property
     def n_levels(self):
@@ -104,7 +106,15 @@ def make_binned_plan(sub: gk.GridKernelPlan, t_rows: int) -> BinnedPlan | None:
     """Size the binned pipeline for equal-size (power-of-two) levels."""
     if t_rows < MIN_BINNED_ROWS or (t_rows & (t_rows - 1)) != 0:
         return None
+    # Kernel A stores the row-block index as bf16 (hi5+1, exact only up to
+    # 256), so r_blocks must stay <= 256: grow S with the table. S is
+    # capped at 512, covering log2_hashmap_size <= 24 (the reference's
+    # documented maximum, DOCUMENTATION.md); beyond that -> XLA fallback.
     s = 128
+    while t_rows // (s * LANE) > 256:
+        s *= 2
+    if s > 512:
+        return None
     r_blocks = t_rows // (s * LANE)
     c = sub.n_corners
     nt = max(2048 // c, 64)
@@ -117,6 +127,25 @@ def make_binned_plan(sub: gk.GridKernelPlan, t_rows: int) -> BinnedPlan | None:
     cap = min(2 * lam + 16, 127)
     return BinnedPlan(sub=sub, t_rows=t_rows, s=s, r_blocks=r_blocks,
                      cap=cap, nt=nt)
+
+
+def _level_hashed(enc, l: int) -> bool:
+    """True iff hashing is active at level l (grid_type Hash and the
+    uint32-wrapping dense stride exceeds the table size - the exact
+    `use_hash` condition of GridEncoding._grid_indices /
+    common_device.h:690-707)."""
+    from ..encodings.grid import GridType
+
+    if GridType(enc.grid_type) != GridType.Hash:
+        return False
+    size = int(enc._sizes[l])
+    res = int(enc._resolutions[l])
+    stride = 1
+    for _ in range(enc.n_dims_to_encode):
+        if stride > size:
+            break
+        stride = (stride * res) & 0xFFFFFFFF
+    return size < stride
 
 
 @dataclasses.dataclass(frozen=True)
@@ -135,13 +164,20 @@ def split_plan_for(enc) -> SplitPlan | None:
     The binned suffix is the maximal run of trailing levels whose table
     size equals the max size (for HashGrid: every level that hit the
     2^log2_hashmap_size cap, grid.h:685-730) - identical power-of-two
-    sizes are what lets one (level, superblock) grid serve them all."""
+    sizes are what lets one (level, superblock) grid serve them all.
+
+    Only levels where HASHING is active (grid_type Hash and dense stride
+    overflowing the table, common_device.h:690-707) qualify: the Poisson
+    overflow bound on `cap` assumes hash-uniform superblock keys, and
+    non-hashed levels (Tiled at the cap, or a dense level whose aligned
+    size coincides with the max) have spatially correlated low index bits
+    that clustered batches could pile into one superblock."""
     sizes = [int(s) for s in enc._sizes[: enc.n_levels]]
     max_size = max(sizes)
     if max_size < MIN_BINNED_ROWS or (max_size & (max_size - 1)) != 0:
         return None
     l0 = enc.n_levels
-    while l0 > 0 and sizes[l0 - 1] == max_size:
+    while l0 > 0 and sizes[l0 - 1] == max_size and _level_hashed(enc, l0 - 1):
         l0 -= 1
     if l0 >= enc.n_levels:
         return None
@@ -151,6 +187,8 @@ def split_plan_for(enc) -> SplitPlan | None:
     bp = make_binned_plan(sub, max_size)
     if bp is None:
         return None
+    if getattr(enc, "warn_binned_drops", False):
+        bp = dataclasses.replace(bp, warn_drops=True)
     dense = None
     if l0 > 0:
         dense = gk.build_plan(enc, 0, l0)
@@ -307,7 +345,11 @@ def _bin_kernel(x_ref, *rest, bp: BinnedPlan):
         ext_ref = rest[0]
         rest = rest[1:]
     const_refs = rest[: len(gk._CONST_NAMES)]
-    sh_ref, sl_ref, rk_ref = rest[len(gk._CONST_NAMES):]
+    sh_ref, sl_ref, rk_ref, dr_ref = rest[len(gk._CONST_NAMES):]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dr_ref[0, 0] = jnp.float32(0.0)
     cr = {n: ref[:] for n, ref in zip(gk._CONST_NAMES, const_refs)}
     NL, S, cap, G = bp.n_levels, bp.s, bp.cap, bp.g
 
@@ -337,6 +379,7 @@ def _bin_kernel(x_ref, *rest, bp: BinnedPlan):
     ).astype(jnp.float32)
 
     sh_rows, sl_rows, rk_cols = [], [], []
+    n_drop = jnp.zeros((), jnp.float32)
     for l in range(NL):
         idx_col = idx_all[:, l : l + 1]
         k_col = k_all[:, l : l + 1]
@@ -346,6 +389,11 @@ def _bin_kernel(x_ref, *rest, bp: BinnedPlan):
             bp.s - 1,
         )
         rk_cols.append(rank_col.astype(jnp.int32))
+        # dropped-pick counter: rank >= cap has no slot column, so the
+        # pick's contribution is lost in BOTH directions (C reads nothing,
+        # P places nothing). Duplicates share their representative's rank,
+        # so they are counted as dropped too - the count is exact.
+        n_drop = n_drop + jnp.sum((rank_col >= float(cap)).astype(jnp.float32))
 
         # placement: first occurrences write (hi5+1) and lo7 into their
         # (k, rank) slot; rank >= cap (overflow) has no one-hot column and
@@ -371,6 +419,7 @@ def _bin_kernel(x_ref, *rest, bp: BinnedPlan):
     sh_ref[0] = jnp.concatenate(sh_rows, axis=0)  # [NL*S, cap]
     sl_ref[0] = jnp.concatenate(sl_rows, axis=0)
     rk_ref[:] = jnp.concatenate(rk_cols, axis=1)  # [G, NL]
+    dr_ref[0, 0] = dr_ref[0, 0] + n_drop
 
 
 def _ext_specs_args(bp: BinnedPlan, x):
@@ -403,11 +452,13 @@ def _bin_call(bp: BinnedPlan, x):
             pl.BlockSpec((1, NL * S, cap), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G, NL), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, NL * S, cap), jnp.bfloat16),
             jax.ShapeDtypeStruct((n_tiles, NL * S, cap), jnp.bfloat16),
             jax.ShapeDtypeStruct((n_tiles * G, NL), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         compiler_params=gk._VMEM_LIMIT,
     )(x, *ext_args, *gk._const_args(consts))
@@ -765,17 +816,39 @@ def _scatter_call(bp: BinnedPlan, sh, sl, sv):
 # ---------------------------------------------------------------------------
 
 
+def _warn_on_drops(n_drop):
+    n = int(n_drop)
+    if n > 0:
+        from ...log import log_warning
+
+        log_warning(
+            f"binned grid kernels dropped {n} pick contribution(s) this "
+            "step (superblock cap overflow) - gradients are biased; see "
+            "binned_kernel.py docstring / GridEncoding.count_binned_drops"
+        )
+
+
+def _maybe_warn(bp, n_drop):
+    """Opt-in runtime overflow detection (warn_drops on the plan): a
+    jax.debug.callback fires log_warning when any pick was dropped. Off by
+    default - the callback forces a per-step D2H transfer of the scalar."""
+    if bp.warn_drops:
+        jax.debug.callback(_warn_on_drops, n_drop)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _binned(bp, n_params, params, x, u):
     table_packed = repack_binned(bp, params)
-    sh, sl, ranks = _bin_call(bp, x)
+    sh, sl, ranks, n_drop = _bin_call(bp, x)
+    _maybe_warn(bp, n_drop)
     feats = _gather_call(bp, sh, sl, table_packed)
     return _combine_call(bp, x, ranks, feats)
 
 
 def _binned_fwd(bp, n_params, params, x, u):
     table_packed = repack_binned(bp, params)
-    sh, sl, ranks = _bin_call(bp, x)
+    sh, sl, ranks, n_drop = _bin_call(bp, x)
+    _maybe_warn(bp, n_drop)
     feats = _gather_call(bp, sh, sl, table_packed)
     y = _combine_call(bp, x, ranks, feats)
     return y, (x, sh, sl, ranks, u)
@@ -791,6 +864,23 @@ def _binned_bwd(bp, n_params, res, gy):
 
 
 _binned.defvjp(_binned_fwd, _binned_bwd)
+
+
+def count_drops(split: SplitPlan, x) -> int:
+    """Exact dropped-pick count for one batch through the binned suffix
+    (the split-plan debug API): runs stage A alone and reads the overflow
+    counter. 0 means the forward AND backward for this batch are exact to
+    bf16 rounding; nonzero means cap overflow dropped that many
+    (sample, corner, level) contributions. Rows added by tile padding are
+    deduplicated to at most one slot per (subchunk, level), so they cannot
+    themselves cause meaningful overflow."""
+    bp = split.binned
+    b = x.shape[0]
+    padded = -(-b // bp.nt) * bp.nt
+    if padded != b:
+        x = jnp.pad(x, ((0, padded - b), (0, 0)))
+    _, _, _, n_drop = _bin_call(bp, x)
+    return int(jax.device_get(n_drop)[0, 0])
 
 
 def grid_encode_binned(bp: BinnedPlan, params, x, u=None):

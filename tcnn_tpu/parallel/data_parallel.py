@@ -133,7 +133,9 @@ class DataParallelTrainer:
 
     def step_external(self, state, inputs, dL_doutput):
         """Training step from a caller-provided dL_doutput (the reference's
-        external-gradient mode, trainer.h:127-131), batch-sharded with the
-        same pmean gradient reduction. Returns the new state (no loss)."""
+        external-gradient mode, trainer.h:127-131), batch-sharded with a
+        psum (unnormalized-sum) gradient reduction - external dL_doutput
+        carries the caller's own normalization, unlike the loss path's
+        per-sample mean. Returns the new state (no loss)."""
         inputs, dL_doutput = self.shard_batch(inputs, dL_doutput)
         return self._step_ext(state, inputs, dL_doutput)

@@ -144,6 +144,7 @@ def _make_grid(n_dims, cfg):
         # extension key (not in the reference schema): False restores the
         # arbitrary-order XLA input-gradient path for second-order work
         fast_input_grads=bool(cfg_get(cfg, "fast_input_grads", True)),
+        warn_binned_drops=bool(cfg_get(cfg, "warn_binned_drops", False)),
     )
 
 

@@ -176,10 +176,22 @@ class Trainer:
         makes e.g. a coarse-to-fine max_level schedule (mutated via
         GridEncoding.update_hyperparams between steps) take effect without
         an explicit trainer.invalidate() - the reference treats max_level
-        as a per-launch runtime value (grid.h:236-240)."""
+        as a per-launch runtime value (grid.h:236-240).
+
+        max_level is keyed by the DERIVED number of active levels, not the
+        raw float: every consumer (`_mask_max_level`, the fused kernel's
+        `_level_active`) only reads `level < max_level*L + 1e-3`, so floats
+        with the same active-level count compile to semantically identical
+        programs. A continuous coarse-to-fine schedule therefore retraces
+        at most n_levels+1 times instead of once per distinct float."""
         enc = getattr(self.model, "encoding", self.model)
         ml = getattr(enc, "max_level", None)
-        return (None if ml is None else float(ml), self.perturbation_sigma)
+        if ml is None:
+            ml_key = None
+        else:
+            L = int(getattr(enc, "n_levels", 1))
+            ml_key = sum(1 for l in range(L) if l < float(ml) * L + 1e-3)
+        return (ml_key, self.perturbation_sigma)
 
     def _get_jitted(self, name, fn, **jit_kwargs):
         key = (name, self._trace_baked_key())
@@ -260,16 +272,31 @@ class Trainer:
                 out = out + noise.astype(out.dtype)
             return out
 
-        fwd = self._get_jitted("forward", _fwd)
+        def _fwd_loss(p, i, t, pdf_, rng):
+            """Forward + in-graph loss evaluation: the reference fuses the
+            loss kernel into Trainer::forward (trainer.h:97-141); here the
+            whole thing is one jit program instead of an eager tail."""
+            out = _fwd(p, i, rng)
+            return out, self.loss_fn(out, t, pdf_)
+
         rng = self.state["rng"]
         if self.perturbation_sigma > 0:
             rng, rng_next = jax.random.split(rng)
             self.state["rng"] = rng_next
-        out = fwd(params, inputs, rng)
-        ctx = {"output": out}
-        if targets is not None:
-            ctx["loss_values"] = self.loss_fn(out, targets, pdf)
-        return ctx
+        if targets is None:
+            out = self._get_jitted("forward", _fwd)(params, inputs, rng)
+            return {"output": out}
+        name = "forward_loss" if pdf is not None else "forward_loss_nopdf"
+        fwd = self._get_jitted(
+            name,
+            _fwd_loss if pdf is not None
+            else (lambda p, i, t, rng: _fwd_loss(p, i, t, None, rng)),
+        )
+        args = (params, inputs, targets) + (
+            (pdf, rng) if pdf is not None else (rng,)
+        )
+        out, loss_values = fwd(*args)
+        return {"output": out, "loss_values": loss_values}
 
     def loss(self, ctx) -> float:
         """Host float of the summed loss (trainer.h:205-207; syncs)."""

@@ -35,14 +35,89 @@ def test_split_plan_shapes():
     enc = _enc()
     split = enc._binned_split()
     assert split is not None
-    # sizes 256,1024,4096,16384,16384: levels 3 (dense, exactly 2^14) and
-    # 4 (hashed, capped) form the equal-size binned suffix
+    # sizes 256,1024,4096,16384,16384: only level 4 (hashed, capped) joins
+    # the binned suffix - level 3 is DENSE (res 128^2 == 2^14 exactly, no
+    # hashing), and non-hashed levels are excluded because the cap's
+    # Poisson bound assumes hash-uniform superblock keys
     assert split.binned.t_rows == 16384
-    assert split.binned.n_levels == 2
-    assert split.dense is not None and split.dense.n_levels == 3
-    assert split.n_prefix_params == int(enc._offsets[3]) * 2
+    assert split.binned.n_levels == 1
+    assert split.dense is not None and split.dense.n_levels == 4
+    assert split.n_prefix_params == int(enc._offsets[4]) * 2
     bp = split.binned
     assert bp.s * bp.r_blocks * 128 == bp.t_rows
+
+
+def test_level_hashed_predicate():
+    enc = _enc()
+    # resolutions 16,32,64,128,256; sizes 256,1024,4096,16384,16384
+    assert [bk._level_hashed(enc, l) for l in range(5)] == [
+        False, False, False, False, True,
+    ]
+    tiled = _enc(grid_type=GridType.Tiled)
+    assert not any(bk._level_hashed(tiled, l) for l in range(5))
+
+
+def test_drop_counter_detects_engineered_concentration():
+    """Adversarial overflow detection (VERDICT r2 item 7): craft a batch
+    whose picks exceed the superblock cap with DISTINCT table rows (dedup
+    cannot save it) and assert the runtime counter reports drops, while a
+    uniform batch reports zero."""
+    enc = _enc()
+    split = enc._binned_split()
+    bp = split.binned
+    assert bp.s == 128
+    lvl = 4  # the binned level (hashed, size 2^14)
+    size = int(enc._sizes[lvl])
+    scale = float(enc._scales[lvl])
+    from tcnn_tpu.ops.encodings.grid import _hash_factors
+
+    f0, f1 = (int(v) for v in _hash_factors(enc.hash_type, 2))
+    # scan a cell lattice for > cap distinct rows in superblock 0
+    c0, c1 = np.meshgrid(np.arange(200, dtype=np.uint64),
+                         np.arange(200, dtype=np.uint64))
+    h = (c0 * f0).astype(np.uint64) ^ (c1 * f1).astype(np.uint64)
+    idx = (h & 0xFFFFFFFF).astype(np.uint32) % size
+    hit = (idx & (bp.s - 1)) == 0
+    cells = np.stack([c0[hit], c1[hit]], axis=1)
+    rows = idx[hit]
+    _, first = np.unique(rows, return_index=True)
+    cells = cells[first]
+    n_special = bp.cap + 16
+    assert len(cells) >= n_special, len(cells)
+    cells = cells[:n_special]
+
+    # position whose corner (0,0) lands exactly in that cell:
+    # pos = x*scale + 0.5, cell = floor(pos) -> x = (cell + 0.25 - 0.5)/scale
+    x = np.full((bp.nt, 2), 0.5, np.float32)
+    x[: n_special] = (cells.astype(np.float32) + 0.25 - 0.5) / scale
+    x = jnp.asarray(x)
+
+    with pltpu.force_tpu_interpret_mode():
+        n_bad = enc.count_binned_drops(x)
+        rng = np.random.default_rng(7)
+        n_ok = enc.count_binned_drops(
+            jnp.asarray(rng.uniform(0.02, 0.98, (bp.nt, 2)), jnp.float32)
+        )
+    assert n_bad >= 16, n_bad
+    assert n_ok == 0, n_ok
+
+
+def test_make_binned_plan_scales_superblocks():
+    """r_blocks must stay <= 256 (kernel A carries hi5+1 in bf16, exact
+    only to 256); S grows with the table, and tables beyond
+    log2_hashmap_size=24 reject (XLA fallback)."""
+    enc = _enc()
+    sub = enc._binned_split().binned.sub
+    for log2, want_s in [(19, 128), (22, 128), (23, 256), (24, 512)]:
+        bp = bk.make_binned_plan(sub, 1 << log2)
+        assert bp is not None and bp.s == want_s, (log2, bp)
+        assert bp.r_blocks <= 256
+        assert bp.s * bp.r_blocks * 128 == 1 << log2
+        # every representable row-block index must be bf16-exact
+        assert bp.r_blocks == int(
+            np.asarray(jnp.asarray(float(bp.r_blocks), jnp.bfloat16))
+        )
+    assert bk.make_binned_plan(sub, 1 << 25) is None
 
 
 def test_binned_forward_matches_oracle():
