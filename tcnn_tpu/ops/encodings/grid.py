@@ -341,11 +341,20 @@ class GridEncoding(Encoding):
                         compute_dtype
                     )
                     return self._mask_max_level(y, x.shape[0], max_level)
-            elif not needs_input_grad:
+            else:
                 # tables beyond the dense kernels' VMEM cap: binned
                 # large-table path (binned_kernel.py)
                 split = self._binned_split()
-                if split is not None:
+                if split is not None and ig:
+                    # input gradients at the reference-default T=2^19 and
+                    # beyond (grid.h:171-211 dy_dx at full kernel speed);
+                    # second-order supported (bwd-bwd combine)
+                    from ..pallas.binned_kernel import grid_encode_split_ig
+
+                    return grid_encode_split_ig(split, params, x).astype(
+                        compute_dtype
+                    )
+                if split is not None and not needs_input_grad:
                     from ..pallas.binned_kernel import grid_encode_split
 
                     y = grid_encode_split(split, params, x).astype(

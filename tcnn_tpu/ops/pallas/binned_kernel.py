@@ -812,6 +812,439 @@ def _scatter_call(bp: BinnedPlan, sh, sl, sv):
 
 
 # ---------------------------------------------------------------------------
+# Input-gradient (dy_dx) path: kernel C-ig merges the slot-read combine
+# with the P placement AND emits dL/dx (kernel_grid_backward +
+# kernel_grid_backward_input parity for the binned levels, grid.h:214-349);
+# its own vjp is the bwd-bwd combine below (grid.h:351-650 parity), so
+# second-order (eikonal) training runs the binned Pallas path too.
+# ---------------------------------------------------------------------------
+
+
+def _stacked_terms(bp: BinnedPlan, x, cr, ext=None):
+    """Corner-stacked per-level index/weight/derivative pieces for the ig
+    kernels: (idx, cw [G, L]; dw list per dim of [G, L] = dW_c/dx_d;
+    terms_stacked per (corner, dim) for Hessian reuse; deriv2_c [G, D*L]).
+    Row order corner-major, same as _stacked_level_indices."""
+    sub = bp.sub
+    L, D = bp.n_levels, sub.d
+    nt = x.shape[0]
+    xx = jnp.concatenate(
+        [jnp.broadcast_to(x[:, d : d + 1], (nt, L)) for d in range(D)],
+        axis=1,
+    )
+    pos = xx * cr["scales"] + 0.5
+    cell_f = jnp.floor(pos)
+    fract = pos - cell_f
+    cells = cell_f.astype(jnp.int32)
+    from ...common import InterpolationType, smoothstep
+
+    if sub.interpolation == InterpolationType.Smoothstep:
+        w = smoothstep(fract)
+        deriv = 6.0 * fract * (1.0 - fract) * cr["scales"]
+        deriv2 = 6.0 * (1.0 - 2.0 * fract) * cr["scales"] * cr["scales"]
+    else:
+        w = fract
+        deriv = jnp.broadcast_to(cr["scales"], fract.shape)
+        deriv2 = jnp.zeros_like(fract)
+
+    per_corner = gk._corner_indices_and_weights(
+        sub, cells, w, cr, want_terms=True, ext=ext
+    )
+    C = sub.n_corners
+    idx = jnp.concatenate([i for i, _, _ in per_corner], axis=0)  # [G, L]
+    cw = jnp.concatenate([c for _, c, _ in per_corner], axis=0)
+    deriv_c = jnp.concatenate([deriv] * C, axis=0)  # [G, D*L]
+    deriv2_c = jnp.concatenate([deriv2] * C, axis=0)
+
+    def _prod_excluding(terms, excl):
+        out = None
+        for d2 in range(D):
+            if d2 in excl:
+                continue
+            out = terms[d2] if out is None else out * terms[d2]
+        return out if out is not None else jnp.ones_like(terms[0])
+
+    dw = []
+    for d in range(D):
+        parts = []
+        for corner_i, (_, _, terms) in enumerate(per_corner):
+            sgn = 1.0 if (corner_i >> d) & 1 else -1.0
+            parts.append(sgn * _prod_excluding(terms, (d,)))
+        dw.append(
+            jnp.concatenate(parts, axis=0) * deriv_c[:, d * L : (d + 1) * L]
+        )
+    return idx, cw, dw, per_corner, deriv_c, deriv2_c, _prod_excluding
+
+
+def _slot_read(bp: BinnedPlan, k_col, rank_col, feats_l, iota_s, iota_cap):
+    """Per-pick feature values for one level from the gathered slot slab
+    feats_l [S, F*cap]: returns list per f of [G, 1] f32 (unweighted)."""
+    cap, F = bp.cap, bp.f
+    onehot_k = (k_col == iota_s).astype(jnp.bfloat16)
+    tmp = jnp.dot(onehot_k, feats_l, preferred_element_type=jnp.float32)
+    ohrank = (rank_col == iota_cap).astype(jnp.float32)
+    return [
+        jnp.sum(tmp[:, f * cap : (f + 1) * cap] * ohrank, axis=1,
+                keepdims=True)
+        for f in range(F)
+    ], ohrank
+
+
+def _combine_ig_kernel(x_ref, rk_ref, feats_ref, gy_ref, *rest,
+                       bp: BinnedPlan):
+    if bp.sub.ext_hash:
+        ext_ref = rest[0]
+        rest = rest[1:]
+    const_refs = rest[:-2]
+    sv_ref, gx_ref = rest[-2], rest[-1]
+    cr = {n: ref[:] for n, ref in zip(gk._CONST_NAMES, const_refs)}
+    NL, S, cap, F, G = bp.n_levels, bp.s, bp.cap, bp.f, bp.g
+    C, nt, D = bp.sub.n_corners, bp.nt, bp.sub.d
+
+    idx_all, cw_all, dw, per_corner, _, _, _ = _stacked_terms(
+        bp, x_ref[:], cr, ext=ext_ref[:] if bp.sub.ext_hash else None
+    )
+    k_all = idx_all & (bp.s - 1)
+    ranks = rk_ref[:]
+    gy = gy_ref[:].astype(jnp.float32)  # [nt, NL*F] l-major f-minor
+    gy_c = jnp.concatenate([gy] * C, axis=0)  # [G, NL*F]
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
+    iota_cap = jax.lax.broadcasted_iota(jnp.int32, (G, cap), 1)
+
+    rows = []
+    dot_cols = []  # per level: [G, 1] = sum_f feat * gy (unweighted feats)
+    for l in range(NL):
+        vals, ohrank = _slot_read(
+            bp, k_all[:, l : l + 1], ranks[:, l : l + 1],
+            feats_ref[0, l * S : (l + 1) * S, :], iota_s, iota_cap,
+        )
+        ok_bf = (k_all[:, l : l + 1] == iota_s).astype(jnp.bfloat16)
+        per_f = []
+        dot_l = None
+        for f in range(F):
+            gyf = gy_c[:, l * F + f : l * F + f + 1]
+            t = vals[f] * gyf
+            dot_l = t if dot_l is None else dot_l + t
+            # placement (P): w * gy summed into slabs
+            rhs = (ohrank * (gyf * cw_all[:, l : l + 1])).astype(jnp.bfloat16)
+            per_f.append(
+                jax.lax.dot_general(
+                    ok_bf, rhs,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        dot_cols.append(dot_l)
+        rows.append(jnp.concatenate(per_f, axis=1))  # [S, F*cap]
+    sv_ref[0] = jnp.concatenate(rows, axis=0).astype(jnp.float32)
+    dot_all = jnp.concatenate(dot_cols, axis=1)  # [G, NL]
+
+    gx_cols = []
+    for d in range(D):
+        contrib = dot_all * dw[d]  # [G, NL]
+        gx_cols.append(jnp.sum(contrib, axis=1, keepdims=True))
+    gx = jnp.concatenate(gx_cols, axis=1)  # [G, D]
+    gx_ref[:] = gx.reshape(C, nt, D).sum(axis=0).astype(gx_ref.dtype)
+
+
+def _combine_ig_call(bp: BinnedPlan, x, ranks, feats, gy):
+    n_tiles = x.shape[0] // bp.nt
+    feats_t = jnp.swapaxes(feats, 0, 1)  # [n_tiles, NL*S, F*cap]
+    NL, S, cap, F, G = bp.n_levels, bp.s, bp.cap, bp.f, bp.g
+    consts = gk._plan_constants(bp.sub)
+    ext_specs, ext_args = _ext_specs_args(bp, x)
+    return pl.pallas_call(
+        functools.partial(_combine_ig_kernel, bp=bp),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((bp.nt, x.shape[1]), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, NL), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NL * S, F * cap), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp.nt, NL * F), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        + ext_specs
+        + gk._const_specs(consts),
+        out_specs=[
+            pl.BlockSpec((1, NL * S, F * cap), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp.nt, x.shape[1]), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, NL * S, F * cap), jnp.float32),
+            jax.ShapeDtypeStruct((x.shape[0], x.shape[1]), jnp.float32),
+        ],
+        compiler_params=gk._VMEM_LIMIT,
+    )(x, ranks, feats_t, gy, *ext_args, *gk._const_args(consts))
+
+
+def _combine_bwdbwd_kernel(x_ref, rk_ref, f1_ref, f2_ref, gy_ref, z_ref,
+                           *rest, bp: BinnedPlan):
+    """Second-order combine (the binned analog of grid_kernel's
+    _bwd_bwd_kernel trio, grid.h:351-650): given cotangents
+    (ct_gparams via f2 = gathered ct_table slots, z = dL2/d(gx)),
+    emits ct_gy, the ct_params placement slabs (zw * gy), and ct_x
+    (full Hessian incl. off-diagonal terms)."""
+    if bp.sub.ext_hash:
+        ext_ref = rest[0]
+        rest = rest[1:]
+    const_refs = rest[:-3]
+    ct_gy_ref, sv2_ref, ct_x_ref = rest[-3:]
+    cr = {n: ref[:] for n, ref in zip(gk._CONST_NAMES, const_refs)}
+    NL, S, cap, F, G = bp.n_levels, bp.s, bp.cap, bp.f, bp.g
+    C, nt, D = bp.sub.n_corners, bp.nt, bp.sub.d
+    L = NL
+
+    idx_all, cw_all, dw, per_corner, deriv_c, deriv2_c, _prod_excluding = (
+        _stacked_terms(
+            bp, x_ref[:], cr, ext=ext_ref[:] if bp.sub.ext_hash else None
+        )
+    )
+    k_all = idx_all & (bp.s - 1)
+    ranks = rk_ref[:]
+    gy = gy_ref[:].astype(jnp.float32)  # [nt, NL*F] l-major f-minor
+    z = z_ref[:].astype(jnp.float32)  # [nt, D]
+    gy_c = jnp.concatenate([gy] * C, axis=0)
+    z_c = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [jnp.broadcast_to(z[:, d : d + 1], (nt, L)) for d in range(D)],
+                axis=1,
+            )
+        ]
+        * C,
+        axis=0,
+    )  # [G, D*L]
+    zw = None  # [G, L] = sum_d z_d * dW_c/dx_d
+    for d in range(D):
+        t = z_c[:, d * L : (d + 1) * L] * dw[d]
+        zw = t if zw is None else zw + t
+
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
+    iota_cap = jax.lax.broadcasted_iota(jnp.int32, (G, cap), 1)
+
+    rows = []
+    ct_gy_cols = []  # per (l, f): [G, 1]
+    dotf_cols, dotf2_cols = [], []
+    for l in range(NL):
+        feats1_l = f1_ref[0, l * S : (l + 1) * S, :]
+        feats2_l = f2_ref[0, l * S : (l + 1) * S, :]
+        vals1, ohrank = _slot_read(
+            bp, k_all[:, l : l + 1], ranks[:, l : l + 1], feats1_l,
+            iota_s, iota_cap,
+        )
+        vals2, _ = _slot_read(
+            bp, k_all[:, l : l + 1], ranks[:, l : l + 1], feats2_l,
+            iota_s, iota_cap,
+        )
+        ok_bf = (k_all[:, l : l + 1] == iota_s).astype(jnp.bfloat16)
+        per_f = []
+        dotf_l = dotf2_l = None
+        for f in range(F):
+            gyf = gy_c[:, l * F + f : l * F + f + 1]
+            # ct_gy = picked(table)*zw + picked(ct_table)*W
+            ct_gy_cols.append(
+                vals1[f] * zw[:, l : l + 1] + vals2[f] * cw_all[:, l : l + 1]
+            )
+            t1 = vals1[f] * gyf
+            t2 = vals2[f] * gyf
+            dotf_l = t1 if dotf_l is None else dotf_l + t1
+            dotf2_l = t2 if dotf2_l is None else dotf2_l + t2
+            # ct_params placement: zw * gy
+            rhs = (ohrank * (gyf * zw[:, l : l + 1])).astype(jnp.bfloat16)
+            per_f.append(
+                jax.lax.dot_general(
+                    ok_bf, rhs,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        dotf_cols.append(dotf_l)
+        dotf2_cols.append(dotf2_l)
+        rows.append(jnp.concatenate(per_f, axis=1))
+    sv2_ref[0] = jnp.concatenate(rows, axis=0).astype(jnp.float32)
+
+    ct_gy = jnp.concatenate(ct_gy_cols, axis=1)  # [G, NL*F] l-major f-minor
+    ct_gy_ref[:] = (
+        ct_gy.reshape(C, nt, NL * F).sum(axis=0).astype(ct_gy_ref.dtype)
+    )
+
+    dotf = jnp.concatenate(dotf_cols, axis=1)  # [G, NL]
+    dotf2 = jnp.concatenate(dotf2_cols, axis=1)
+
+    ct_x_cols = []
+    for dp in range(D):
+        hess = None  # [G, L] = sum_d z_d * d2W_c/dx_d dx_dp
+        for d in range(D):
+            if d == dp:
+                parts = []
+                for corner_i, (_, _, terms) in enumerate(per_corner):
+                    sgn = 1.0 if (corner_i >> d) & 1 else -1.0
+                    parts.append(sgn * _prod_excluding(terms, (d,)))
+                block = (
+                    jnp.concatenate(parts, axis=0)
+                    * deriv2_c[:, d * L : (d + 1) * L]
+                )
+            else:
+                parts = []
+                for corner_i, (_, _, terms) in enumerate(per_corner):
+                    sgn_d = 1.0 if (corner_i >> d) & 1 else -1.0
+                    sgn_p = 1.0 if (corner_i >> dp) & 1 else -1.0
+                    parts.append(
+                        sgn_d * sgn_p * _prod_excluding(terms, (d, dp))
+                    )
+                block = (
+                    jnp.concatenate(parts, axis=0)
+                    * deriv_c[:, d * L : (d + 1) * L]
+                    * deriv_c[:, dp * L : (dp + 1) * L]
+                )
+            t = z_c[:, d * L : (d + 1) * L] * block
+            hess = t if hess is None else hess + t
+        contrib = dotf * hess + dotf2 * dw[dp]
+        ct_x_cols.append(jnp.sum(contrib, axis=1, keepdims=True))
+    ct_x = jnp.concatenate(ct_x_cols, axis=1)  # [G, D]
+    ct_x_ref[:] = ct_x.reshape(C, nt, D).sum(axis=0).astype(ct_x_ref.dtype)
+
+
+def _combine_bwdbwd_call(bp: BinnedPlan, x, ranks, feats1, feats2, gy, z):
+    n_tiles = x.shape[0] // bp.nt
+    f1_t = jnp.swapaxes(feats1, 0, 1)
+    f2_t = jnp.swapaxes(feats2, 0, 1)
+    NL, S, cap, F, G = bp.n_levels, bp.s, bp.cap, bp.f, bp.g
+    consts = gk._plan_constants(bp.sub)
+    ext_specs, ext_args = _ext_specs_args(bp, x)
+    slab = pl.BlockSpec((1, NL * S, F * cap), lambda t: (t, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_combine_bwdbwd_kernel, bp=bp),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((bp.nt, x.shape[1]), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, NL), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            slab,
+            slab,
+            pl.BlockSpec((bp.nt, NL * F), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp.nt, x.shape[1]), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        + ext_specs
+        + gk._const_specs(consts),
+        out_specs=[
+            pl.BlockSpec((bp.nt, NL * F), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            slab,
+            pl.BlockSpec((bp.nt, x.shape[1]), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((x.shape[0], NL * F), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, NL * S, F * cap), jnp.float32),
+            jax.ShapeDtypeStruct((x.shape[0], x.shape[1]), jnp.float32),
+        ],
+        compiler_params=gk._VMEM_LIMIT,
+    )(x, ranks, f1_t, f2_t, gy, z, *ext_args, *gk._const_args(consts))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _binned_ig_backward(bp, n_params, params, x, gy):
+    """(gparams, gx) = the binned ig backward, as a DIFFERENTIABLE function
+    (l-major f-minor gy). Mirror of grid_kernel._ig_backward over the
+    binned machinery: A (bin) -> B (gather) -> C-ig (place + dL/dx) ->
+    B' (scatter)."""
+    table = repack_binned(bp, params)
+    sh, sl, ranks, _ = _bin_call(bp, x)
+    feats = _gather_call(bp, sh, sl, table)
+    sv, gx = _combine_ig_call(bp, x, ranks, feats, gy.astype(jnp.float32))
+    gpacked = _scatter_call(bp, sh, sl, sv)
+    return unpack_binned_grads(bp, gpacked), gx
+
+
+def _binned_ig_backward_fwd(bp, n_params, params, x, gy):
+    return _binned_ig_backward(bp, n_params, params, x, gy), (params, x, gy)
+
+
+def _binned_ig_backward_bwd(bp, n_params, res, cts):
+    params, x, gy = res
+    ct_gparams, z = cts
+    table = repack_binned(bp, params)
+    ct_table = repack_binned(bp, ct_gparams)
+    sh, sl, ranks, _ = _bin_call(bp, x)
+    feats1 = _gather_call(bp, sh, sl, table)
+    feats2 = _gather_call(bp, sh, sl, ct_table)
+    ct_gy, sv2, ct_x = _combine_bwdbwd_call(
+        bp, x, ranks, feats1, feats2, gy.astype(jnp.float32),
+        z.astype(jnp.float32),
+    )
+    gpacked2 = _scatter_call(bp, sh, sl, sv2)
+    ct_params = unpack_binned_grads(bp, gpacked2)
+    return (
+        ct_params.astype(params.dtype),
+        ct_x.astype(x.dtype),
+        ct_gy.astype(gy.dtype),
+    )
+
+
+_binned_ig_backward.defvjp(_binned_ig_backward_fwd, _binned_ig_backward_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _binned_ig(bp, n_params, params, x):
+    table_packed = repack_binned(bp, params)
+    sh, sl, ranks, n_drop = _bin_call(bp, x)
+    _maybe_warn(bp, n_drop)
+    feats = _gather_call(bp, sh, sl, table_packed)
+    return _combine_call(bp, x, ranks, feats)
+
+
+def _binned_ig_fwd(bp, n_params, params, x):
+    return _binned_ig(bp, n_params, params, x), (params, x)
+
+
+def _binned_ig_bwd(bp, n_params, res, gy):
+    params, x = res
+    gparams, gx = _binned_ig_backward(bp, n_params, params, x, gy)
+    return gparams, gx.astype(x.dtype)
+
+
+_binned_ig.defvjp(_binned_ig_fwd, _binned_ig_bwd)
+
+
+def grid_encode_binned_ig(bp: BinnedPlan, params, x):
+    """Like grid_encode_binned but the backward ALSO produces dL/dx, and
+    is itself differentiable (second-order via the bwd-bwd combine above;
+    third order raises). Matches grid.h:171-211 (dy_dx) + :322-349
+    (backward_input) + :902-1026 (backward_backward) for binned levels."""
+    b = x.shape[0]
+    nt = bp.nt
+    padded = -(-b // nt) * nt
+    if padded != b:
+        x = jnp.pad(x, ((0, padded - b), (0, 0)))
+    y = _binned_ig(bp, int(params.shape[0]), params, x)
+    return y[:b]
+
+
+def grid_encode_split_ig(split: SplitPlan, params, x):
+    """Full-encoding forward over a SplitPlan whose backward produces
+    dL/dx as well (dense-prefix ig kernels + binned-suffix ig path); the
+    two parts' input gradients add automatically under vjp. Stochastic
+    interpolation is not supported here (same as the dense ig path -
+    input-gradient workloads use the exact scatter)."""
+    n_pre = split.n_prefix_params
+    parts = []
+    if split.dense is not None:
+        parts.append(gk.grid_encode_pallas_ig(split.dense, params[:n_pre], x))
+    parts.append(grid_encode_binned_ig(split.binned, params[n_pre:], x))
+    if len(parts) == 1:
+        return parts[0]
+    return jnp.concatenate(parts, axis=1)
+
+
+# ---------------------------------------------------------------------------
 # custom_vjp wrapper
 # ---------------------------------------------------------------------------
 
