@@ -19,8 +19,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
-if jax.default_backend() not in ("tpu",):
+# Run on real TPU only when explicitly requested (a pod slice); otherwise
+# the 8-virtual-device CPU mesh. Both settings must land before backend
+# init - the axon sitecustomize overwrites XLA_FLAGS at interpreter
+# start, so the device count goes through jax.config.
+if os.environ.get("TCNN_SCALING_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import jax.numpy as jnp
 import numpy as np

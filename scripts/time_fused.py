@@ -4,6 +4,7 @@ Usage: python scripts/time_fused.py [tile_override]
 Prints one line: fused kernel ms + M samples/s. For fast iteration on
 kernel-structure experiments (PERF.md round-3 notes).
 """
+import os
 import sys
 import time
 
@@ -20,7 +21,7 @@ sys.path.insert(0, "/root/repo")
 import tcnn_tpu as tc
 from tcnn_tpu.ops.pallas.train_kernel import fused_train_grads
 
-B = 1 << 18
+B = 1 << int(os.environ.get("TF_LOG2_B", "18"))
 
 
 def timeit(fn, *args, iters=50):

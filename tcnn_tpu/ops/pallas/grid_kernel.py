@@ -278,6 +278,7 @@ _CONST_NAMES = (
     "pow2_mask",  # i32 [1, L] (1 = power-of-two table size)
     "size_m1",  # i32 [1, L]
     "size_f",  # f32 [1, L]
+    "corner_bits",  # i32 [C, D*L]: row c, col d*L+l = (c >> d) & 1
 )
 
 
@@ -304,6 +305,11 @@ def _plan_constants(plan: GridKernelPlan):
     )
     size_m1 = np.asarray([lvl.size - 1 for lvl in plan.levels], np.int32)
     size_f = np.asarray([lvl.size for lvl in plan.levels], np.float32)
+    C = 1 << D
+    corner_bits = np.zeros((C, D * L), np.int32)
+    for c in range(C):
+        for d in range(D):
+            corner_bits[c, d * L : (d + 1) * L] = (c >> d) & 1
     return {
         "scales": scales[None, :],
         "strides": strides.astype(np.int32)[None, :],
@@ -312,6 +318,7 @@ def _plan_constants(plan: GridKernelPlan):
         "pow2_mask": pow2_mask[None, :],
         "size_m1": size_m1[None, :],
         "size_f": size_f[None, :],
+        "corner_bits": corner_bits,
     }
 
 
@@ -414,6 +421,81 @@ def _stacked_hi_lo_w(plan, cells, w, cr, ext=None):
     return hi, lo, cw
 
 
+def _stacked_hi_lo_w_v2(plan: GridKernelPlan, cells, w, cr, ext=None):
+    """Round-3 corner expansion: same contract as _stacked_hi_lo_w (HI, LO
+    i32 [C*Nt, L]; W f32 [C*Nt, L] or None) but computed directly in the
+    corner-STACKED row layout with wide ops: the cells/weights are
+    row-tiled C times (identical-layout row concats - legal, unlike
+    row-concatenating lane-slices, a Mosaic 'offset mismatch' error), and
+    the per-corner bits come from a row-iota (corner = row // Nt), so the
+    per-corner +bit / *stride / xor / term math is ~12 wide [C*Nt, D*L]
+    ops instead of ~70 per-corner [Nt, L] slices (measured: idx+stack
+    7.1 ms -> 1.6 ms on the b=2^18 fwd, scripts/ablate_fwd_r3.py).
+
+    `ext` (HashType.Rng precomputed hashes) must arrive corner-STACKED as
+    [C*Nt, L] (see compute_ext_hash_stacked)."""
+    L, D = plan.n_levels, plan.d
+    if plan.interpolation == InterpolationType.Nearest:
+        return _stacked_hi_lo_w(plan, cells, w, cr, ext=ext)
+    C = 1 << D
+    nt = cells.shape[0]
+
+    cells_s = jnp.concatenate([cells] * C, axis=0)  # [C*Nt, D*L]
+    w_s = jnp.concatenate([w] * C, axis=0)
+    # per-corner bit rows from the precomputed constant (a row-iota //
+    # where-chain construction compiled ~12x slower in Mosaic)
+    cb = cr["corner_bits"]  # [C, D*L]
+    bits = jnp.concatenate(
+        [jnp.broadcast_to(cb[c : c + 1, :], (nt, D * L)) for c in range(C)],
+        axis=0,
+    )
+
+    cc = cells_s + bits
+    dmul = cc * cr["strides"]  # [1, D*L] broadcast rows
+    hmul = cc * cr["factors"]
+    csum = dmul[:, :L]
+    hxor = hmul[:, :L]
+    for d in range(1, D):
+        csum = csum + dmul[:, d * L : (d + 1) * L]
+        hxor = hxor ^ hmul[:, d * L : (d + 1) * L]
+    # term = bit ? w : 1-w, then product over dims
+    term = (1.0 - w_s) + bits.astype(jnp.float32) * (2.0 * w_s - 1.0)
+    cw = term[:, :L]
+    for d in range(1, D):
+        cw = cw * term[:, d * L : (d + 1) * L]
+
+    if ext is not None:
+        hxor = ext  # [C*Nt, L] corner-stacked
+    raw = jnp.where(cr["hash_mask"] == 1, hxor, csum)  # [C*Nt, L]
+    idx_and = raw & cr["size_m1"]
+    fraw = raw.astype(jnp.float32)
+    idx_fmod = (
+        fraw - jnp.floor(fraw / cr["size_f"]) * cr["size_f"]
+    ).astype(jnp.int32)
+    idx = jnp.where(cr["pow2_mask"] == 1, idx_and, idx_fmod)
+    return idx >> 7, idx & (LANE - 1), cw
+
+
+def _level_masks(plan, hi, lo, cw, l, h, nt):
+    """One level's (oh [C*Nt, h] bf16 hi one-hot, ohlo_w [C*Nt, 128] f32
+    weight-folded lane mask) from the corner-stacked index arrays. The
+    interpolation weight is folded into the lane-mask SELECT (one op, not
+    select+multiply)."""
+    rows = hi.shape[0]
+    oh = (
+        hi[:, l : l + 1]
+        == jax.lax.broadcasted_iota(jnp.int32, (rows, h), 1)
+    ).astype(jnp.bfloat16)
+    lmask = lo[:, l : l + 1] == jax.lax.broadcasted_iota(
+        jnp.int32, (rows, LANE), 1
+    )
+    if cw is not None:
+        ohlo_w = jnp.where(lmask, cw[:, l : l + 1], 0.0)
+    else:
+        ohlo_w = lmask.astype(jnp.float32)
+    return oh, ohlo_w
+
+
 def compute_ext_hash(plan: GridKernelPlan, x):
     """Precomputed per-corner Rng-hash values [B, C*L] i32 (col c*L + l).
 
@@ -442,6 +524,16 @@ def compute_ext_hash(plan: GridKernelPlan, x):
     return jnp.concatenate(cols, axis=1)  # [B, C*L]
 
 
+def compute_ext_hash_stacked(plan: GridKernelPlan, x):
+    """compute_ext_hash rearranged to [C, B, L] so kernels can merge the
+    LEADING dims into the corner-stacked [C*Nt, L] row layout in-kernel
+    (lane->row relayouts are not expressible in Mosaic)."""
+    ext = compute_ext_hash(plan, x)  # [B, C*L]
+    b = ext.shape[0]
+    C = plan.n_corners
+    return jnp.swapaxes(ext.reshape(b, C, plan.n_levels), 0, 1)
+
+
 def _ext_dummy(plan: GridKernelPlan, x):
     if plan.ext_hash:
         return compute_ext_hash(plan, x)
@@ -459,26 +551,24 @@ def _fwd_kernel(x_ref, table_ref, *const_and_out, plan: GridKernelPlan):
     F, C, L = plan.f, plan.n_corners, plan.n_levels
 
     cells, w = _positions(plan, x, cr)
-    ext = ext_ref[:] if plan.ext_hash else None
-    hi, lo, cw = _stacked_hi_lo_w(plan, cells, w, cr, ext=ext)
+    # ext arrives [C, Nt, L] (compute_ext_hash_stacked); merge the leading
+    # dims into the corner-stacked row layout
+    ext = (
+        ext_ref[:].reshape(-1, plan.n_levels) if plan.ext_hash else None
+    )
+    hi_cl, lo_cl, cw_cl = _stacked_hi_lo_w_v2(plan, cells, w, cr, ext=ext)
 
     # feature-MAJOR column order inside the kernel (col = f*L + l): the
     # weight expansion is then a plain lane concat (Mosaic rejects the
     # interleaving reshape); the wrapper permutes back to l-major f-minor.
     cols = [[] for _ in range(F)]
     for l, level in enumerate(plan.levels):
-        oh = (
-            hi[:, l : l + 1]
-            == jax.lax.broadcasted_iota(jnp.int32, (C * nt, level.h), 1)
-        ).astype(jnp.bfloat16)
+        # extract column lo via mask + lane reduction: 1.7x faster than
+        # Mosaic's take_along_axis lane gather (measured), bit-identical.
+        # The interpolation weight is folded into the SELECT (one op).
+        oh, ohlo = _level_masks(plan, hi_cl, lo_cl, cw_cl, l, level.h, nt)
         tbl = table_ref[level.row_off : level.row_off + level.h, :]
         g = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)  # [CNt,128F]
-        # extract column lo via mask + lane reduction: 1.7x faster than
-        # Mosaic's take_along_axis lane gather (measured), bit-identical
-        ohlo = (
-            lo[:, l : l + 1]
-            == jax.lax.broadcasted_iota(jnp.int32, (C * nt, LANE), 1)
-        ).astype(jnp.float32)
         for f in range(F):
             cols[f].append(
                 jnp.sum(
@@ -489,9 +579,6 @@ def _fwd_kernel(x_ref, table_ref, *const_and_out, plan: GridKernelPlan):
             )
 
     picked = jnp.concatenate(sum(cols, []), axis=1)  # [C*Nt, F*L] f-major
-    if cw is not None:
-        cwf = jnp.concatenate([cw] * F, axis=1) if F > 1 else cw
-        picked = picked * cwf
     y_ref[:] = picked.reshape(C, nt, F * L).sum(axis=0).astype(y_ref.dtype)
 
 
@@ -517,26 +604,19 @@ def _bwd_kernel(x_ref, gy_ref, *const_and_out, plan: GridKernelPlan):
     F, C, L = plan.f, plan.n_corners, plan.n_levels
 
     cells, w = _positions(plan, x, cr)
-    ext = ext_ref[:] if plan.ext_hash else None
-    hi, lo, cw = _stacked_hi_lo_w(plan, cells, w, cr, ext=ext)
+    # ext arrives [C, Nt, L] (compute_ext_hash_stacked); merge the leading
+    # dims into the corner-stacked row layout
+    ext = (
+        ext_ref[:].reshape(-1, plan.n_levels) if plan.ext_hash else None
+    )
+    hi_cl, lo_cl, cw_cl = _stacked_hi_lo_w_v2(plan, cells, w, cr, ext=ext)
 
-    # per-sample scatter values in feature-MAJOR lanes (col = f*L + l):
-    # a[:, f*L+l] = w_corner * dL/dy_{l,f}; gy arrives already permuted to
-    # f-major by the wrapper. Computed ONCE in a wide lane-packed array.
+    # per-sample cotangents in feature-MAJOR lanes (col = f*L + l); the
+    # corner weight is folded into the lane-mask SELECT in _level_masks.
     a = jnp.concatenate([gy] * C, axis=0)  # [C*Nt, F*L]
-    if cw is not None:
-        cwf = jnp.concatenate([cw] * F, axis=1) if F > 1 else cw
-        a = a * cwf
 
     for l, level in enumerate(plan.levels):
-        oh = (
-            hi[:, l : l + 1]
-            == jax.lax.broadcasted_iota(jnp.int32, (C * nt, level.h), 1)
-        ).astype(jnp.bfloat16)
-        ohlo = (
-            lo[:, l : l + 1]
-            == jax.lax.broadcasted_iota(jnp.int32, (C * nt, LANE), 1)
-        ).astype(jnp.float32)
+        oh, ohlo = _level_masks(plan, hi_cl, lo_cl, cw_cl, l, level.h, nt)
         rhs = jnp.concatenate(
             [ohlo * a[:, f * L + l : f * L + l + 1] for f in range(F)],
             axis=1,
@@ -1142,11 +1222,18 @@ def grid_encode_pallas_ig(plan: GridKernelPlan, params, x):
 _VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
 
 
-def _ext_specs_args(plan: GridKernelPlan, x, nt=None):
-    """Optional precomputed-hash kernel input (HashType.Rng)."""
+def _ext_specs_args(plan: GridKernelPlan, x, nt=None, stacked=False):
+    """Optional precomputed-hash kernel input (HashType.Rng). With
+    `stacked`, the input is [C, B, L] (see compute_ext_hash_stacked) for
+    kernels using the v2 corner-stacked index math."""
     if not plan.ext_hash:
         return [], []
     nt = plan.batch_tile if nt is None else nt
+    if stacked:
+        C, L = plan.n_corners, plan.n_levels
+        spec = pl.BlockSpec((C, nt, L), lambda g: (0, g, 0),
+                            memory_space=pltpu.VMEM)
+        return [spec], [compute_ext_hash_stacked(plan, x)]
     w = plan.n_corners * plan.n_levels
     spec = pl.BlockSpec((nt, w), lambda g: (g, 0), memory_space=pltpu.VMEM)
     return [spec], [compute_ext_hash(plan, x)]
@@ -1156,7 +1243,7 @@ def _fwd_call(plan: GridKernelPlan, table_packed, x):
     b = x.shape[0]
     nt = plan.batch_tile
     consts = _plan_constants(plan)
-    ext_specs, ext_args = _ext_specs_args(plan, x)
+    ext_specs, ext_args = _ext_specs_args(plan, x, stacked=True)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, plan=plan),
         grid=(b // nt,),
@@ -1182,7 +1269,7 @@ def _bwd_call(plan: GridKernelPlan, x, gy):
     b = x.shape[0]
     nt = plan.batch_tile
     consts = _plan_constants(plan)
-    ext_specs, ext_args = _ext_specs_args(plan, x)
+    ext_specs, ext_args = _ext_specs_args(plan, x, stacked=True)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, plan=plan),
         grid=(b // nt,),

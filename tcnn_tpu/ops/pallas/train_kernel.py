@@ -71,10 +71,6 @@ def supported(model, loss, perturbation_sigma: float = 0.0) -> bool:
     plan = model.encoding._kernel_plan()
     if plan is None:
         return False
-    if plan.ext_hash:
-        # Rng-hash configs use the composed kernels (which take the
-        # precomputed-hash input); the fused kernel doesn't plumb it yet
-        return False
     # VMEM estimate: the fused kernel caches the per-level one-hot masks
     # between gather and scatter (not needed for the stochastic scatter,
     # which builds chosen-corner masks) - for big tables that dominates and
@@ -136,6 +132,10 @@ def _kernel(
     if stochastic:
         u_ref = rest[pos]
         pos += 1
+    ext_ref = None
+    if plan.ext_hash:
+        ext_ref = rest[pos]
+        pos += 1
     out_refs = rest[pos:]
     gtable_ref = out_refs[0]
     gw_refs = out_refs[1 : 1 + n_w]
@@ -156,31 +156,39 @@ def _kernel(
 
     # ---- shared index math (once for gather AND scatter) -------------------
     cells, w = gk._positions(plan, x, cr)
-    hi, lo, cw = gk._stacked_hi_lo_w(plan, cells, w, cr)
+    # HashType.Rng: precomputed PCG32 hashes arrive [C, Nt, L]
+    # (compute_ext_hash_stacked); leading-dim merge -> corner-stacked rows
+    ext_s = (
+        ext_ref[:].reshape(-1, L) if plan.ext_hash else None
+    )
+    hi_cl, lo_cl, cw_cl = gk._stacked_hi_lo_w_v2(plan, cells, w, cr,
+                                                 ext=ext_s)
 
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (C * nt, LANE), 1)
+    def _build(l, level):
+        """One level's (hi one-hot, weight-folded lane mask); both the
+        weighted pick (fwd) and the weighted scatter (bwd) share ohlo_w."""
+        return gk._level_masks(plan, hi_cl, lo_cl, cw_cl, l, level.h, nt)
 
     # ---- grid gather (forward) ---------------------------------------------
+    # the one-hot build (VPU) for level l+1 is emitted BEFORE level l's
+    # matmul+pick so the VLIW scheduler can pack VPU build work under the
+    # MXU gather of the previous level (measured: see PERF.md round 3)
     ohs = []
     ohlo_ws = []
     cols = []
-    for l, level in enumerate(plan.levels):
-        if not _level_active(plan, l, max_level):
-            ohs.append(None)
-            ohlo_ws.append(None)
-            for _ in range(F):
-                cols.append(jnp.zeros((C * nt, 1), jnp.float32))
-            continue
-        oh = (
-            hi[:, l : l + 1]
-            == jax.lax.broadcasted_iota(jnp.int32, (C * nt, level.h), 1)
-        ).astype(jnp.bfloat16)
-        ohlo = (lo[:, l : l + 1] == lane_iota).astype(jnp.float32)
-        # fold the corner interpolation weight into the lane mask: both the
-        # weighted pick (fwd) and the weighted scatter (bwd) use cw * ohlo
-        ohlo_w = ohlo * cw[:, l : l + 1] if cw is not None else ohlo
-        # the stochastic scatter builds its own (chosen-corner) masks, so
-        # don't keep these alive in VMEM
+    built = {}
+    active = [
+        l for l, _ in enumerate(plan.levels)
+        if _level_active(plan, l, max_level)
+    ]
+    if active:
+        built[active[0]] = _build(active[0], plan.levels[active[0]])
+    for i, l in enumerate(active):
+        if i + 1 < len(active):
+            nl = active[i + 1]
+            built[nl] = _build(nl, plan.levels[nl])
+        oh, ohlo_w = built.pop(l)
+        level = plan.levels[l]
         ohs.append(None if stochastic else oh)
         ohlo_ws.append(None if stochastic else ohlo_w)
         tbl = table_ref[level.row_off : level.row_off + level.h, :]
@@ -193,6 +201,23 @@ def _kernel(
                     keepdims=True,
                 )
             )
+    # re-inflate to per-level lists (inactive levels: zero output columns)
+    if len(active) != len(plan.levels):
+        full_ohs, full_ohlo, full_cols = [], [], []
+        it = iter(range(len(active)))
+        for l, _ in enumerate(plan.levels):
+            if l in active:
+                k = active.index(l)
+                full_ohs.append(ohs[k])
+                full_ohlo.append(ohlo_ws[k])
+                full_cols.extend(cols[k * F : (k + 1) * F])
+            else:
+                full_ohs.append(None)
+                full_ohlo.append(None)
+                full_cols.extend(
+                    jnp.zeros((C * nt, 1), jnp.float32) for _ in range(F)
+                )
+        ohs, ohlo_ws, cols = full_ohs, full_ohlo, full_cols
 
     picked = jnp.concatenate(cols, axis=1)  # [C*Nt, L*F] l-major f-minor
     enc = picked.reshape(C, nt, L * F).sum(axis=0)  # [Nt, L*F] f32
@@ -277,6 +302,22 @@ def _kernel(
             hmul = cc * cr["factors"][:, sl_d]
             csum = dmul if csum is None else csum + dmul
             hxor = hmul if hxor is None else hxor ^ hmul
+        if ext_s is not None:
+            # chosen corner's precomputed Rng hash: select among the C
+            # corner-stacked row blocks of ext_s (row slices of the
+            # leading dim - identical layouts, legal)
+            corner_id = None  # [Nt, L]
+            for d in range(D):
+                contrib = bits[:, d * L : (d + 1) * L] << d
+                corner_id = (
+                    contrib if corner_id is None else corner_id | contrib
+                )
+            hxor = None
+            for c in range(C):
+                sel = jnp.where(
+                    corner_id == c, ext_s[c * nt : (c + 1) * nt, :], 0
+                )
+                hxor = sel if hxor is None else hxor | sel
         raw = jnp.where(cr["hash_mask"] == 1, hxor, csum)
         idx_and = raw & cr["size_m1"]
         fraw = raw.astype(jnp.float32)
@@ -335,6 +376,9 @@ def _kernel(
 
 
 def _infer_kernel(x_ref, table_ref, *rest, plan, mlp, n_weights, enc_pad):
+    if plan.ext_hash:
+        ext_ref = rest[0]
+        rest = rest[1:]
     const_refs = rest[: len(gk._CONST_NAMES)]
     w_refs = rest[len(gk._CONST_NAMES) : len(gk._CONST_NAMES) + n_weights]
     y_ref = rest[len(gk._CONST_NAMES) + n_weights]
@@ -345,17 +389,21 @@ def _infer_kernel(x_ref, table_ref, *rest, plan, mlp, n_weights, enc_pad):
     F, C, L = plan.f, plan.n_corners, plan.n_levels
 
     cells, w = gk._positions(plan, x, cr)
-    hi, lo, cw = gk._stacked_hi_lo_w(plan, cells, w, cr)
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (C * nt, LANE), 1)
+    ext_s = (
+        ext_ref[:].reshape(-1, L) if plan.ext_hash else None
+    )
+    hi_cl, lo_cl, cw_cl = gk._stacked_hi_lo_w_v2(plan, cells, w, cr,
+                                                 ext=ext_s)
+
+    def _build(l, level):
+        return gk._level_masks(plan, hi_cl, lo_cl, cw_cl, l, level.h, nt)
 
     cols = []
+    nxt = _build(0, plan.levels[0])
     for l, level in enumerate(plan.levels):
-        oh = (
-            hi[:, l : l + 1]
-            == jax.lax.broadcasted_iota(jnp.int32, (C * nt, level.h), 1)
-        ).astype(jnp.bfloat16)
-        ohlo = (lo[:, l : l + 1] == lane_iota).astype(jnp.float32)
-        ohlo_w = ohlo * cw[:, l : l + 1] if cw is not None else ohlo
+        oh, ohlo_w = nxt
+        if l + 1 < L:
+            nxt = _build(l + 1, plan.levels[l + 1])
         tbl = table_ref[level.row_off : level.row_off + level.h, :]
         g = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)
         for f in range(F):
@@ -404,6 +452,7 @@ def fused_forward(model, params, x):
         x = jnp.pad(x, ((0, padded - b), (0, 0)))
     consts = gk._plan_constants(plan)
     out_w = mlp.padded_output_width
+    ext_specs, ext_args = gk._ext_specs_args(plan, x, nt=nt, stacked=True)
 
     y = pl.pallas_call(
         functools.partial(
@@ -419,6 +468,7 @@ def fused_forward(model, params, x):
                 memory_space=pltpu.VMEM,
             ),
         ]
+        + ext_specs
         + gk._const_specs(consts)
         + [
             pl.BlockSpec(w.shape, lambda g: (0, 0), memory_space=pltpu.VMEM)
@@ -429,7 +479,7 @@ def fused_forward(model, params, x):
         ),
         out_shape=jax.ShapeDtypeStruct((padded, out_w), jnp.bfloat16),
         compiler_params=gk._VMEM_LIMIT,
-    )(x, table_packed, *gk._const_args(consts), *wts)
+    )(x, table_packed, *ext_args, *gk._const_args(consts), *wts)
     return y[:b]
 
 
@@ -556,6 +606,13 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None,
                 memory_space=pltpu.VMEM,
             )
         ]
+    if plan.ext_hash:
+        # HashType.Rng: PCG32 hashes precomputed outside the kernel
+        # (elementwise XLA), corner-stacked layout [C, B, L]
+        ext_specs, ext_args = gk._ext_specs_args(plan, x, nt=nt,
+                                                 stacked=True)
+        extra_args.extend(ext_args)
+        in_specs = in_specs + ext_specs
     outs = pl.pallas_call(
         kern,
         grid=(grid_steps,),
