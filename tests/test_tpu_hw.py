@@ -71,7 +71,9 @@ def test_dense_kernels_production_shape():
     rel = float(
         jnp.linalg.norm(g - g_ref) / (jnp.linalg.norm(g_ref) + 1e-12)
     )
-    assert rel < 8e-2, rel
+    # pins the documented ~0.4%-class bf16 scatter accumulation error
+    # (PERF.md) at production scale - 8x tighter than the round-2 assert
+    assert rel < 1e-2, rel
 
 
 def test_binned_kernels_reference_default_config():
@@ -115,7 +117,8 @@ def test_binned_kernels_reference_default_config():
     rel = float(
         jnp.linalg.norm(g - g_ref) / (jnp.linalg.norm(g_ref) + 1e-12)
     )
-    assert rel < 8e-2, rel
+    # reference-default scale, same ~0.4%-class bound as the dense path
+    assert rel < 1e-2, rel
 
 
 def test_fused_train_step_production_shape():
