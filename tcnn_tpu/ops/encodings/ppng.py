@@ -304,6 +304,7 @@ class PPNG3Encoding(PPNGBase):
     def __init__(self, n_dims_to_encode: int, **kw):
         kw.setdefault("rank", 1)
         super().__init__(n_dims_to_encode, **kw)
+        self._fast_plan_cache = ()  # unset sentinel
 
     def _validate(self):
         if self.n_features not in (1, 2, 4, 8):
@@ -329,7 +330,110 @@ class PPNG3Encoding(PPNGBase):
             * self.n_features
         )
 
-    def apply_unpadded(self, params, x, *, compute_dtype=COMPUTE_DTYPE, **_):
+    # -- binned fast path (the analog of ppng_3.h:476-494's dense-table
+    # CUDA kernels, via binned_kernel's externally-indexed mode) ----------
+
+    def _fast_plan(self):
+        """ext_iw BinnedPlan for the dense Q^D tables, or None.
+
+        One binned "level" per (frequency, phase) pair; t_rows = Q^D.
+        Requires Q % 4 == 0 for the bit premix (below) and the binned
+        machinery's size window [2^14, 2^22]."""
+        if self._fast_plan_cache == ():
+            plan = None
+            t_rows = self.n_quants ** self.n_dims_to_encode
+            if self.n_quants % 4 == 0:
+                from ..pallas.binned_kernel import make_ext_binned_plan
+
+                plan = make_ext_binned_plan(
+                    self.n_frequencies * 2, t_rows, self.n_features,
+                    self.n_dims_to_encode,
+                )
+            self._fast_plan_cache = plan
+        return self._fast_plan_cache
+
+    def _premix_table(self, params):
+        """Level-major flat table with rows in PREMIXED order.
+
+        The binned superblock key is the LOW 7 bits of the row index
+        (binned_kernel._bin_kernel). The natural flat index
+        sum_i p_i * Q^i puts only dim 0 in those bits, and p_0 is
+        arcsine-distributed (the sin-warped quantization, interp.h:41),
+        so clustered batches would pile into few superblocks. The premix
+        re-orders rows as (hi_2, hi_1, hi_0, lo_2, lo_1, lo_0) with
+        lo_i = p_i & 3: the low 6 key bits take 2 bits from EVERY dim.
+        A pure reshape+transpose - no gather - so it costs one XLA copy
+        and transposes back cleanly under vjp."""
+        D, Q, C = self.n_dims_to_encode, self.n_quants, self.n_features
+        F2 = self.n_frequencies * 2
+        H = Q // 4
+        t = params.reshape((F2,) + (H, 4) * D + (C,))
+        hi_axes = tuple(1 + 2 * i for i in range(D))
+        lo_axes = tuple(2 + 2 * i for i in range(D))
+        t = t.transpose((0,) + hi_axes + lo_axes + (1 + 2 * D,))
+        return t.reshape(-1)
+
+    def _pick_iw(self, x):
+        """Per-pick premixed rows and weights in the ext layout:
+        (idx [B, C*NL] f32, cw [B, C*NL] f32), col c*NL + (f*2+s).
+        cw is differentiable in x (through the sin-warped fractional
+        part); idx is piecewise constant."""
+        F, D, C = self.n_frequencies, self.n_dims_to_encode, self.n_features
+        Q = self.n_quants
+        B, NL, H = x.shape[0], F * 2, Q // 4
+        p0, p1, w = self._quant_coords(x.astype(jnp.float32))  # [B,F,2,D]
+        p = jnp.stack([p0, p1], axis=-1).astype(jnp.float32)
+        idx_cols, w_cols = [], []
+        for c in range(1 << D):
+            row = 0.0
+            weight = 1.0
+            for i in range(D):
+                bit = (c >> i) & 1
+                pi = p[..., i, bit]  # [B, F, 2]
+                hi = jnp.floor(pi * 0.25)
+                lo = pi - 4.0 * hi
+                row = row + hi * float(H**i * 4**D) + lo * float(4**i)
+                weight = weight * (w[..., i] if bit else 1.0 - w[..., i])
+            idx_cols.append(row.reshape(B, NL))
+            w_cols.append(weight.reshape(B, NL))
+        return (
+            jnp.concatenate(idx_cols, axis=1),
+            jnp.concatenate(w_cols, axis=1),
+        )
+
+    def _apply_binned(self, params, x, compute_dtype):
+        from ..pallas.binned_kernel import binned_ext_lookup
+
+        bp = self._fast_plan()
+        idx, cw = self._pick_iw(x)
+        y = binned_ext_lookup(bp, self._premix_table(params), idx, cw)
+        return y.astype(compute_dtype)
+
+    def count_binned_drops(self, params, x) -> int:
+        """Exact dropped-pick count for one batch on the fast path (the
+        GridEncoding.count_binned_drops analog); 0 = exact to bf16."""
+        bp = self._fast_plan()
+        if bp is None:
+            return 0
+        from ..pallas.binned_kernel import count_ext_drops
+
+        idx, cw = self._pick_iw(x)
+        return count_ext_drops(bp, idx, cw)
+
+    def apply_unpadded(
+        self, params, x, *, compute_dtype=COMPUTE_DTYPE, impl=None, **_
+    ):
+        use_pallas = impl == "pallas" or (
+            impl in (None, "auto") and jax.default_backend() == "tpu"
+        )
+        if use_pallas:
+            bp = self._fast_plan()
+            if bp is not None:
+                return self._apply_binned(params, x, compute_dtype)
+            if impl == "pallas":
+                raise NotImplementedError(
+                    "PPNG3 config unsupported by the binned Pallas path"
+                )
         B = x.shape[0]
         F, D, C = self.n_frequencies, self.n_dims_to_encode, self.n_features
         Q = self.n_quants

@@ -84,6 +84,14 @@ class BinnedPlan:
     nt: int  # samples per batch tile (G = C*nt picks)
     #: opt-in: log_warning via jax.debug.callback when picks are dropped
     warn_drops: bool = False
+    #: externally-indexed mode: per-pick table row indices AND interpolation
+    #: weights arrive as kernel inputs ([B, C*NL] f32 each, col c*NL + l -
+    #: the dense kernels' ext layout) instead of being derived from x
+    #: in-kernel. Serves non-grid dense-table encodings (PPNG3's Q^D
+    #: frequency grids, ppng_3.h:476-494); the caller owns the index
+    #: bijection and must pack the table rows in the SAME index order
+    #: (see ppng.py's Morton premix for why mixing matters).
+    ext_iw: bool = False
 
     @property
     def n_levels(self):
@@ -127,6 +135,47 @@ def make_binned_plan(sub: gk.GridKernelPlan, t_rows: int) -> BinnedPlan | None:
     cap = min(2 * lam + 16, 127)
     return BinnedPlan(sub=sub, t_rows=t_rows, s=s, r_blocks=r_blocks,
                      cap=cap, nt=nt)
+
+
+def make_ext_binned_plan(
+    n_levels: int, t_rows: int, f: int, d: int, cap_scale: int = 3
+) -> BinnedPlan | None:
+    """BinnedPlan for NL equal-size dense tables indexed EXTERNALLY
+    (ext_iw mode): the caller supplies per-pick row indices and weights.
+
+    The synthetic sub-plan only provides shape/corner bookkeeping (its
+    level constants are never read on the ext path). `cap_scale` widens
+    the slot cap beyond the hash-uniform default: external index
+    distributions (e.g. PPNG3's arcsine-warped quantization) are less
+    uniform than a hash even after the caller's bit-mixing."""
+    if t_rows < MIN_BINNED_ROWS or (t_rows & (t_rows - 1)) != 0:
+        return None
+    if t_rows > 1 << 22:  # f32-exact index transport + r_blocks cap
+        return None
+    from ...common import InterpolationType
+
+    h = t_rows // LANE
+    levels = tuple(
+        gk._Level(1.0, t_rows, h, l * h, True, True, (0,) * d, (True,) * d)
+        for l in range(n_levels)
+    )
+    sub = gk.GridKernelPlan(
+        d=d,
+        n_levels=n_levels,
+        f=f,
+        h_total=n_levels * h,
+        levels=levels,
+        hash_factors=(0,) * d,
+        interpolation=InterpolationType.Linear,
+        offsets=tuple(l * t_rows for l in range(n_levels)),
+        batch_tile=1024,
+    )
+    bp = make_binned_plan(sub, t_rows)
+    if bp is None:
+        return None
+    lam = max(bp.g // bp.s, 1)
+    cap = min(cap_scale * lam + 16, 127)
+    return dataclasses.replace(bp, ext_iw=True, cap=cap)
 
 
 def _level_hashed(enc, l: int) -> bool:
@@ -325,12 +374,27 @@ def _rank_level(idx_col, idx_row_l, onehot_k, n_sub, q_row, pos, key_mask):
     return r + off_p, first
 
 
-def _stacked_level_indices(bp: BinnedPlan, x, cr, ext=None):
+def _stacked_level_indices(bp: BinnedPlan, x, cr, ext=None, extw=None):
     """Corner-stacked per-level indices and weights: idx [G, NL] i32,
     cw [G, NL] f32 (or None for Nearest). Same pick ordering (corner-major)
     everywhere (A, C, P). `ext` [nt, C*NL]: precomputed Rng-hash values
-    (HashType.Rng, same contract as the dense kernels)."""
+    (HashType.Rng, same contract as the dense kernels). In ext_iw mode
+    `ext`/`extw` carry FINAL row indices (f32, exact to 2^22) and
+    interpolation weights; x is ignored."""
     sub = bp.sub
+    if bp.ext_iw:
+        NL, C = bp.n_levels, sub.n_corners
+        idx = jnp.concatenate(
+            [
+                ext[:, c * NL : (c + 1) * NL].astype(jnp.int32)
+                for c in range(C)
+            ],
+            axis=0,
+        )  # [G, NL]
+        cw = jnp.concatenate(
+            [extw[:, c * NL : (c + 1) * NL] for c in range(C)], axis=0
+        )
+        return idx, cw
     cells, w = gk._positions(sub, x, cr)
     per_corner = gk._corner_indices_and_weights(sub, cells, w, cr, ext=ext)
     idx = jnp.concatenate([i for i, _ in per_corner], axis=0)  # [G, NL]
@@ -341,7 +405,11 @@ def _stacked_level_indices(bp: BinnedPlan, x, cr, ext=None):
 
 
 def _bin_kernel(x_ref, *rest, bp: BinnedPlan):
-    if bp.sub.ext_hash:
+    ext_ref = extw_ref = None
+    if bp.ext_iw:
+        ext_ref, extw_ref = rest[0], rest[1]
+        rest = rest[2:]
+    elif bp.sub.ext_hash:
         ext_ref = rest[0]
         rest = rest[1:]
     const_refs = rest[: len(gk._CONST_NAMES)]
@@ -354,7 +422,9 @@ def _bin_kernel(x_ref, *rest, bp: BinnedPlan):
     NL, S, cap, G = bp.n_levels, bp.s, bp.cap, bp.g
 
     idx_all, _ = _stacked_level_indices(
-        bp, x_ref[:], cr, ext=ext_ref[:] if bp.sub.ext_hash else None
+        bp, x_ref[:], cr,
+        ext=ext_ref[:] if ext_ref is not None else None,
+        extw=extw_ref[:] if extw_ref is not None else None,
     )
     idx_all_t = jnp.transpose(idx_all)  # [NL, G] - ONE transpose per tile
     # superblock key = LOW index bits: CoherentPrime's dim-0 factor is 1
@@ -422,21 +492,25 @@ def _bin_kernel(x_ref, *rest, bp: BinnedPlan):
     dr_ref[0, 0] = dr_ref[0, 0] + n_drop
 
 
-def _ext_specs_args(bp: BinnedPlan, x):
-    """Optional precomputed-hash kernel input for the binned kernels."""
-    if not bp.sub.ext_hash:
-        return [], []
+def _ext_specs_args(bp: BinnedPlan, x, eiw=None):
+    """Optional extra kernel inputs: precomputed Rng-hash values
+    (ext_hash), or external (row index, weight) pairs (ext_iw mode,
+    `eiw` = (idx [B, C*NL] f32, cw [B, C*NL] f32))."""
     w = bp.sub.n_corners * bp.n_levels
     spec = pl.BlockSpec((bp.nt, w), lambda t: (t, 0),
                         memory_space=pltpu.VMEM)
+    if bp.ext_iw:
+        return [spec, spec], [eiw[0], eiw[1]]
+    if not bp.sub.ext_hash:
+        return [], []
     return [spec], [gk.compute_ext_hash(bp.sub, x)]
 
 
-def _bin_call(bp: BinnedPlan, x):
+def _bin_call(bp: BinnedPlan, x, eiw=None):
     n_tiles = x.shape[0] // bp.nt
     NL, S, cap, G = bp.n_levels, bp.s, bp.cap, bp.g
     consts = gk._plan_constants(bp.sub)
-    ext_specs, ext_args = _ext_specs_args(bp, x)
+    ext_specs, ext_args = _ext_specs_args(bp, x, eiw)
     return pl.pallas_call(
         functools.partial(_bin_kernel, bp=bp),
         grid=(n_tiles,),
@@ -566,7 +640,11 @@ def _gather_call(bp: BinnedPlan, sh, sl, table_packed):
 
 
 def _combine_kernel(x_ref, rk_ref, feats_ref, *rest, bp: BinnedPlan):
-    if bp.sub.ext_hash:
+    ext_ref = extw_ref = None
+    if bp.ext_iw:
+        ext_ref, extw_ref = rest[0], rest[1]
+        rest = rest[2:]
+    elif bp.sub.ext_hash:
         ext_ref = rest[0]
         rest = rest[1:]
     const_refs, y_ref = rest[:-1], rest[-1]
@@ -575,7 +653,9 @@ def _combine_kernel(x_ref, rk_ref, feats_ref, *rest, bp: BinnedPlan):
     C, nt = bp.sub.n_corners, bp.nt
 
     idx_all, cw_all = _stacked_level_indices(
-        bp, x_ref[:], cr, ext=ext_ref[:] if bp.sub.ext_hash else None
+        bp, x_ref[:], cr,
+        ext=ext_ref[:] if ext_ref is not None else None,
+        extw=extw_ref[:] if extw_ref is not None else None,
     )
     k_all = idx_all & (bp.s - 1)
     ranks = rk_ref[:]  # [G, NL] i32
@@ -599,12 +679,12 @@ def _combine_kernel(x_ref, rk_ref, feats_ref, *rest, bp: BinnedPlan):
     y_ref[:] = picked.reshape(C, nt, NL * F).sum(axis=0).astype(y_ref.dtype)
 
 
-def _combine_call(bp: BinnedPlan, x, ranks, feats):
+def _combine_call(bp: BinnedPlan, x, ranks, feats, eiw=None):
     n_tiles = x.shape[0] // bp.nt
     feats = jnp.swapaxes(feats, 0, 1)  # -> tile-major [n_tiles, NL*S, F*cap]
     NL, S, cap, F, G = bp.n_levels, bp.s, bp.cap, bp.f, bp.g
     consts = gk._plan_constants(bp.sub)
-    ext_specs, ext_args = _ext_specs_args(bp, x)
+    ext_specs, ext_args = _ext_specs_args(bp, x, eiw)
     return pl.pallas_call(
         functools.partial(_combine_kernel, bp=bp),
         grid=(n_tiles,),
@@ -630,7 +710,11 @@ def _combine_call(bp: BinnedPlan, x, ranks, feats):
 
 
 def _place_kernel(x_ref, rk_ref, gy_ref, *rest, bp: BinnedPlan):
-    if bp.sub.ext_hash:
+    ext_ref = extw_ref = None
+    if bp.ext_iw:
+        ext_ref, extw_ref = rest[0], rest[1]
+        rest = rest[2:]
+    elif bp.sub.ext_hash:
         ext_ref = rest[0]
         rest = rest[1:]
     if bp.sub.stochastic:
@@ -643,7 +727,9 @@ def _place_kernel(x_ref, rk_ref, gy_ref, *rest, bp: BinnedPlan):
     D = bp.sub.d
 
     idx_all, cw_all = _stacked_level_indices(
-        bp, x_ref[:], cr, ext=ext_ref[:] if bp.sub.ext_hash else None
+        bp, x_ref[:], cr,
+        ext=ext_ref[:] if ext_ref is not None else None,
+        extw=extw_ref[:] if extw_ref is not None else None,
     )
     k_all = idx_all & (bp.s - 1)
     ranks = rk_ref[:]
@@ -696,11 +782,11 @@ def _place_kernel(x_ref, rk_ref, gy_ref, *rest, bp: BinnedPlan):
     sv_ref[0] = jnp.concatenate(rows, axis=0).astype(jnp.float32)
 
 
-def _place_call(bp: BinnedPlan, x, ranks, gy, u=None):
+def _place_call(bp: BinnedPlan, x, ranks, gy, u=None, eiw=None):
     n_tiles = x.shape[0] // bp.nt
     NL, S, cap, F, G = bp.n_levels, bp.s, bp.cap, bp.f, bp.g
     consts = gk._plan_constants(bp.sub)
-    ext_specs, ext_args = _ext_specs_args(bp, x)
+    ext_specs, ext_args = _ext_specs_args(bp, x, eiw)
     u_specs, u_args = [], []
     if bp.sub.stochastic:
         u_specs = [pl.BlockSpec((bp.nt, NL), lambda t: (t, 0),
@@ -1338,3 +1424,223 @@ def grid_encode_binned(bp: BinnedPlan, params, x, u=None):
         x = jnp.pad(x, ((0, padded - b), (0, 0)))
     y = _binned(bp, int(params.shape[0]), params, x, u)
     return y[:b]
+
+
+# ---------------------------------------------------------------------------
+# Externally-indexed mode (ext_iw): dense-table lookup for PPNG3 et al.
+# ---------------------------------------------------------------------------
+
+
+def _ext_dummy_x(arr):
+    """Placeholder x input for ext_iw kernels (loaded, never read)."""
+    return jnp.zeros((arr.shape[0], 1), jnp.float32)
+
+
+def _combine_extg_kernel(rk_ref, feats_ref, gy_ref, ei_ref, ew_ref, *out_refs,
+                         bp: BinnedPlan, want_sv: bool):
+    """Ext-mode gradient combine: per-pick feature-gy dot products (the
+    d_cw cotangent - the ext analog of grid.h:322-349's dL_dy*dy_dx
+    contraction) and, optionally, the cw-weighted placement slabs (P)."""
+    NL, S, cap, F, G = bp.n_levels, bp.s, bp.cap, bp.f, bp.g
+    C = bp.sub.n_corners
+    idx_all, cw_all = _stacked_level_indices(
+        bp, None, None, ext=ei_ref[:], extw=ew_ref[:]
+    )
+    k_all = idx_all & (bp.s - 1)
+    ranks = rk_ref[:]
+    gy = gy_ref[:].astype(jnp.float32)  # [nt, NL*F] l-major f-minor
+    gy_c = jnp.concatenate([gy] * C, axis=0)  # [G, NL*F]
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
+    iota_cap = jax.lax.broadcasted_iota(jnp.int32, (G, cap), 1)
+
+    rows, dot_cols = [], []
+    for l in range(NL):
+        vals, ohrank = _slot_read(
+            bp, k_all[:, l : l + 1], ranks[:, l : l + 1],
+            feats_ref[0, l * S : (l + 1) * S, :], iota_s, iota_cap,
+        )
+        ok_bf = (k_all[:, l : l + 1] == iota_s).astype(jnp.bfloat16)
+        per_f = []
+        dot_l = None
+        for f in range(F):
+            gyf = gy_c[:, l * F + f : l * F + f + 1]
+            t = vals[f] * gyf
+            dot_l = t if dot_l is None else dot_l + t
+            if want_sv:
+                rhs = (ohrank * (gyf * cw_all[:, l : l + 1])).astype(
+                    jnp.bfloat16
+                )
+                per_f.append(
+                    jax.lax.dot_general(
+                        ok_bf, rhs,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+        dot_cols.append(dot_l)
+        if want_sv:
+            rows.append(jnp.concatenate(per_f, axis=1))  # [S, F*cap]
+    if want_sv:
+        out_refs[0][0] = jnp.concatenate(rows, axis=0).astype(jnp.float32)
+    out_refs[-1][:] = jnp.concatenate(dot_cols, axis=1)  # [G, NL]
+
+
+def _combine_extg_call(bp: BinnedPlan, ranks, feats, gy, eiw, want_sv=True):
+    n_tiles = gy.shape[0] // bp.nt
+    feats_t = jnp.swapaxes(feats, 0, 1)  # [n_tiles, NL*S, F*cap]
+    NL, S, cap, F, G = bp.n_levels, bp.s, bp.cap, bp.f, bp.g
+    w = bp.sub.n_corners * NL
+    out_specs = [
+        pl.BlockSpec((G, NL), lambda t: (t, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((n_tiles * G, NL), jnp.float32)]
+    if want_sv:
+        out_specs.insert(
+            0,
+            pl.BlockSpec((1, NL * S, F * cap), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        )
+        out_shape.insert(
+            0,
+            jax.ShapeDtypeStruct((n_tiles, NL * S, F * cap), jnp.float32),
+        )
+    res = pl.pallas_call(
+        functools.partial(_combine_extg_kernel, bp=bp, want_sv=want_sv),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((G, NL), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NL * S, F * cap), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp.nt, NL * F), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp.nt, w), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp.nt, w), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=gk._VMEM_LIMIT,
+    )(ranks, feats_t, gy, eiw[0], eiw[1])
+    return res if want_sv else (None, res[0])
+
+
+def _dots_to_cw(bp: BinnedPlan, dots):
+    """[n_tiles*G, NL] corner-major pick dots -> [B, C*NL] ext layout."""
+    C, nt, NL = bp.sub.n_corners, bp.nt, bp.n_levels
+    n_tiles = dots.shape[0] // bp.g
+    return (
+        dots.reshape(n_tiles, C, nt, NL)
+        .transpose(0, 2, 1, 3)
+        .reshape(n_tiles * nt, C * NL)
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _binned_ext_backward(bp, params, idx, cw, gy):
+    """(d_table_flat, d_cw) = backward of the ext lookup, as a
+    DIFFERENTIABLE function (second order; the ext analog of
+    _binned_ig_backward, cf. ppng_3.h:14-230's grad/grad_grad helpers)."""
+    table = repack_binned(bp, params)
+    xd = _ext_dummy_x(idx)
+    sh, sl, ranks, _ = _bin_call(bp, xd, eiw=(idx, cw))
+    feats = _gather_call(bp, sh, sl, table)
+    sv, dots = _combine_extg_call(bp, ranks, feats, gy, (idx, cw))
+    gpacked = _scatter_call(bp, sh, sl, sv)
+    return unpack_binned_grads(bp, gpacked), _dots_to_cw(bp, dots)
+
+
+def _binned_ext_backward_fwd(bp, params, idx, cw, gy):
+    return _binned_ext_backward(bp, params, idx, cw, gy), (params, idx, cw, gy)
+
+
+def _binned_ext_backward_bwd(bp, res, cts):
+    """VJP of the backward. With y = sum_picks cw*T[idx] and
+    (dT, dcw) = (scatter(cw*gy), dot(T[idx], gy)), the cotangent algebra
+    is closed over the same five kernels:
+      ct_gy     = combine(ct_dT[idx], cw) + combine(T[idx], ct_dcw)
+      ct_params = scatter(ct_dcw * gy)
+      ct_cw     = dot(ct_dT[idx], gy)
+    (third order is out of scope, as in the reference)."""
+    params, idx, cw, gy = res
+    ct_dtable, ct_dcw = cts
+    xd = _ext_dummy_x(idx)
+    table = repack_binned(bp, params)
+    ct_table = repack_binned(bp, ct_dtable)
+    sh, sl, ranks, _ = _bin_call(bp, xd, eiw=(idx, cw))
+    feats1 = _gather_call(bp, sh, sl, table)
+    feats2 = _gather_call(bp, sh, sl, ct_table)
+    t1 = _combine_call(bp, xd, ranks, feats2, eiw=(idx, cw))
+    t2 = _combine_call(bp, xd, ranks, feats1, eiw=(idx, ct_dcw))
+    ct_gy = t1.astype(jnp.float32) + t2.astype(jnp.float32)
+    sv = _place_call(bp, xd, ranks, gy.astype(jnp.float32),
+                     eiw=(idx, ct_dcw))
+    ct_params = unpack_binned_grads(bp, _scatter_call(bp, sh, sl, sv))
+    _, dots = _combine_extg_call(bp, ranks, feats2, gy, (idx, cw),
+                                 want_sv=False)
+    return (
+        ct_params.astype(params.dtype),
+        jnp.zeros_like(idx),
+        _dots_to_cw(bp, dots).astype(cw.dtype),
+        ct_gy.astype(gy.dtype),
+    )
+
+
+_binned_ext_backward.defvjp(_binned_ext_backward_fwd, _binned_ext_backward_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _binned_ext(bp, params, idx, cw):
+    table = repack_binned(bp, params)
+    sh, sl, ranks, n_drop = _bin_call(bp, _ext_dummy_x(idx), eiw=(idx, cw))
+    _maybe_warn(bp, n_drop)
+    feats = _gather_call(bp, sh, sl, table)
+    return _combine_call(bp, _ext_dummy_x(idx), ranks, feats, eiw=(idx, cw))
+
+
+def _binned_ext_fwd(bp, params, idx, cw):
+    return _binned_ext(bp, params, idx, cw), (params, idx, cw)
+
+
+def _binned_ext_bwd(bp, res, gy):
+    params, idx, cw = res
+    gparams, gcw = _binned_ext_backward(
+        bp, params, idx, cw, gy.astype(jnp.float32)
+    )
+    return gparams.astype(params.dtype), jnp.zeros_like(idx), gcw.astype(
+        cw.dtype
+    )
+
+
+_binned_ext.defvjp(_binned_ext_fwd, _binned_ext_bwd)
+
+
+def binned_ext_lookup(bp: BinnedPlan, params, idx, cw):
+    """Differentiable multi-table lookup with EXTERNAL per-pick rows and
+    weights (ext_iw plans from make_ext_binned_plan).
+
+    params: flat [NL * t_rows * F] fp32, row-major per level in the SAME
+    index order the caller uses for `idx` (premix any bit-mixing into both).
+    idx [B, C*NL] f32 level-local rows (col c*NL + l), cw [B, C*NL] f32
+    weights. Returns [B, NL*F] bf16, l-major f-minor. Gradients flow to
+    params and cw (first AND second order); idx gets zeros.
+    """
+    b = idx.shape[0]
+    padded = -(-b // bp.nt) * bp.nt
+    if padded != b:
+        idx = jnp.pad(idx, ((0, padded - b), (0, 0)))
+        cw = jnp.pad(cw, ((0, padded - b), (0, 0)))
+    y = _binned_ext(bp, params, idx, cw)
+    return y[:b]
+
+
+def count_ext_drops(bp: BinnedPlan, idx, cw) -> int:
+    """Exact dropped-pick count for one batch in ext_iw mode (the
+    count_drops analog for externally-indexed tables)."""
+    b = idx.shape[0]
+    padded = -(-b // bp.nt) * bp.nt
+    if padded != b:
+        idx = jnp.pad(idx, ((0, padded - b), (0, 0)))
+        cw = jnp.pad(cw, ((0, padded - b), (0, 0)))
+    _, _, _, n_drop = _bin_call(bp, _ext_dummy_x(idx), eiw=(idx, cw))
+    return int(jax.device_get(n_drop)[0, 0])
