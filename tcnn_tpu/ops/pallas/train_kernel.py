@@ -637,3 +637,370 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None,
     gnet = jnp.concatenate([g.T.reshape(-1) for g in gwts])
     grads = jnp.concatenate([gnet, genc]).astype(jnp.float32) * scale
     return total, grads
+
+
+# ---------------------------------------------------------------------------
+# Fused input-gradient path: model forward whose backward runs MLP bwd +
+# grid scatter + dL/dx in ONE kernel (the megakernel analog of the
+# composed grid_encode_pallas_ig + XLA-MLP route; grid.h:171-211 dy_dx +
+# :322-349 backward_input at fused-kernel speed)
+# ---------------------------------------------------------------------------
+
+
+def supported_ig(model, compute_dtype=None) -> bool:
+    """Whether the fused input-gradient path covers this model: same
+    shape/VMEM envelope as the train kernel, minus the loss, plus the
+    composed-ig contract (no stochastic/nearest/max_level)."""
+    from ...common import COMPUTE_DTYPE, InterpolationType
+    from ...models.mlp import FullyFusedMLP
+    from ...models.network_with_input_encoding import NetworkWithInputEncoding
+    from ...ops.encodings.grid import GridEncoding
+
+    if compute_dtype is not None and compute_dtype != COMPUTE_DTYPE:
+        return False
+    if not isinstance(model, NetworkWithInputEncoding):
+        return False
+    enc = model.encoding
+    if not isinstance(enc, GridEncoding):
+        return False
+    if not isinstance(model.network, FullyFusedMLP):
+        return False
+    if Activation.Sine in (
+        model.network.activation, model.network.output_activation
+    ):
+        return False
+    if not getattr(enc, "fast_input_grads", False):
+        return False
+    if enc.stochastic_interpolation or enc.max_level is not None:
+        return False
+    if enc.interpolation == InterpolationType.Nearest:
+        return False
+    plan = enc._kernel_plan()
+    if plan is None:
+        return False
+    from ...ops.losses import L2Loss
+
+    return supported(model, L2Loss())
+
+
+def _ig_kernel(x_ref, gy_ref, table_ref, *rest, plan, mlp, n_weights,
+               enc_pad):
+    """Recomputed grid+MLP forward, MLP backward with external output
+    cotangent, grid scatter, and dL/dx - one program per batch tile. The
+    per-level one-hot masks and the unweighted corner picks are shared
+    between the gather, the scatter, and the dy_dx contraction."""
+    from .grid_kernel import InterpolationType, smoothstep
+
+    n_w = n_weights
+    const_refs = rest[: len(gk._CONST_NAMES)]
+    w_refs = rest[len(gk._CONST_NAMES) : len(gk._CONST_NAMES) + n_w]
+    pos_i = len(gk._CONST_NAMES) + n_w
+    ext_ref = None
+    if plan.ext_hash:
+        ext_ref = rest[pos_i]
+        pos_i += 1
+    out_refs = rest[pos_i:]
+    gtable_ref = out_refs[0]
+    gw_refs = out_refs[1 : 1 + n_w]
+    gx_ref = out_refs[1 + n_w]
+
+    cr = {name: ref[:] for name, ref in zip(gk._CONST_NAMES, const_refs)}
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        gtable_ref[:] = jnp.zeros_like(gtable_ref)
+        for gw in gw_refs:
+            gw[:] = jnp.zeros_like(gw)
+
+    x = x_ref[:]
+    gy = gy_ref[:].astype(jnp.float32)  # [Nt, out_pad]
+    nt = x.shape[0]
+    F, C, L, D = plan.f, plan.n_corners, plan.n_levels, plan.d
+
+    # positions + per-dim interpolation terms and x-derivatives (the
+    # _bwd_ig_kernel formulation, grid.h:171-211)
+    xx = jnp.concatenate(
+        [jnp.broadcast_to(x[:, d : d + 1], (nt, L)) for d in range(D)],
+        axis=1,
+    )
+    pos = xx * cr["scales"] + 0.5
+    cell_f = jnp.floor(pos)
+    fract = pos - cell_f
+    cells = cell_f.astype(jnp.int32)
+    if plan.interpolation == InterpolationType.Smoothstep:
+        w = smoothstep(fract)
+        deriv = 6.0 * fract * (1.0 - fract) * cr["scales"]
+    else:
+        w = fract
+        deriv = jnp.broadcast_to(cr["scales"], fract.shape)
+
+    per_corner = gk._corner_indices_and_weights(
+        plan, cells, w, cr, want_terms=True,
+        ext=ext_ref[:] if plan.ext_hash else None,
+    )
+    idx = jnp.concatenate([i for i, _, _ in per_corner], axis=0)
+    hi = idx >> 7
+    lo = idx & (LANE - 1)
+    cw = jnp.concatenate([c for _, c, _ in per_corner], axis=0)  # [C*Nt, L]
+
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (C * nt, LANE), 1)
+
+    # ---- gather: unweighted picks (shared with dy_dx) + weighted enc ----
+    ohs, ohlos, picked_cols = [], [], [[] for _ in range(F)]
+    enc_cols = []
+    for l, level in enumerate(plan.levels):
+        oh = (
+            hi[:, l : l + 1]
+            == jax.lax.broadcasted_iota(jnp.int32, (C * nt, level.h), 1)
+        ).astype(jnp.bfloat16)
+        ohlo = (lo[:, l : l + 1] == lane_iota).astype(jnp.float32)
+        ohs.append(oh)
+        ohlos.append(ohlo)
+        tbl = table_ref[level.row_off : level.row_off + level.h, :]
+        g = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)
+        for f in range(F):
+            pf = jnp.sum(
+                g[:, f * LANE : (f + 1) * LANE] * ohlo, axis=1,
+                keepdims=True,
+            )
+            picked_cols[f].append(pf)
+            enc_cols.append(pf * cw[:, l : l + 1])
+
+    picked_w = jnp.concatenate(enc_cols, axis=1)  # [C*Nt, L*F] l-major
+    enc = picked_w.reshape(C, nt, L * F).sum(axis=0)
+    if enc_pad:
+        enc = jnp.concatenate(
+            [enc, jnp.zeros((nt, enc_pad), enc.dtype)], axis=1
+        )
+
+    # ---- fused MLP forward (recompute) + backward with external gy ------
+    h = enc.astype(jnp.bfloat16)
+    hs = [h]
+    for i in range(n_w):
+        z = jnp.dot(h, w_refs[i][:], preferred_element_type=jnp.float32)
+        act = mlp.output_activation if i == n_w - 1 else mlp.activation
+        h = activation_fn(z, act).astype(jnp.bfloat16)
+        hs.append(h)
+
+    g = gy
+    for i in reversed(range(n_w)):
+        act = mlp.output_activation if i == n_w - 1 else mlp.activation
+        g = activation_bwd_out(g, hs[i + 1].astype(jnp.float32), act)
+        gw_refs[i][:] = gw_refs[i][:] + jax.lax.dot_general(
+            hs[i].astype(jnp.float32),
+            g,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        g = jax.lax.dot_general(
+            g,
+            w_refs[i][:].astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    genc = g[:, : L * F]  # [Nt, L*F] l-major f-minor
+    gy_c = jnp.concatenate([genc] * C, axis=0)  # [C*Nt, L*F]
+
+    # ---- grid scatter (reusing oh / ohlo) -------------------------------
+    for l, level in enumerate(plan.levels):
+        rhs_cols = []
+        for f in range(F):
+            gcol = gy_c[:, l * F + f : l * F + f + 1]
+            rhs_cols.append(ohlos[l] * (gcol * cw[:, l : l + 1]))
+        rhs = jnp.concatenate(rhs_cols, axis=1).astype(jnp.bfloat16)
+        contrib = jax.lax.dot_general(
+            ohs[l], rhs,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        sl = slice(level.row_off, level.row_off + level.h)
+        gtable_ref[sl, :] = gtable_ref[sl, :] + contrib
+
+    # ---- dy_dx contraction (grid.h:171-211 finite-corner-difference) ----
+    dot_cols = []
+    for l in range(L):
+        dl = None
+        for f in range(F):
+            t = picked_cols[f][l] * gy_c[:, l * F + f : l * F + f + 1]
+            dl = t if dl is None else dl + t
+        dot_cols.append(dl)
+    dot_all = jnp.concatenate(dot_cols, axis=1)  # [C*Nt, L]
+
+    deriv_c = jnp.concatenate([deriv] * C, axis=0)  # [C*Nt, D*L]
+    gx_cols = []
+    for d in range(D):
+        prodsgn = []
+        for corner_i, (_, _, terms) in enumerate(per_corner):
+            sgn = 1.0 if (corner_i >> d) & 1 else -1.0
+            other = None
+            for d2 in range(D):
+                if d2 == d:
+                    continue
+                other = terms[d2] if other is None else other * terms[d2]
+            if other is None:
+                other = jnp.ones_like(terms[0])
+            prodsgn.append(sgn * other)
+        prodsgn = jnp.concatenate(prodsgn, axis=0)  # [C*Nt, L]
+        contrib = dot_all * prodsgn * deriv_c[:, d * L : (d + 1) * L]
+        gx_cols.append(jnp.sum(contrib, axis=1, keepdims=True))
+    gx = jnp.concatenate(gx_cols, axis=1)  # [C*Nt, D]
+    gx_ref[:] = gx.reshape(C, nt, D).sum(axis=0).astype(gx_ref.dtype)
+
+
+def fused_ig_grads(model, params, x, gy):
+    """(grads_flat, gx) via the fused input-gradient backward kernel.
+    gy: [B, out_pad] output cotangent (raw - the caller owns any loss
+    scale)."""
+    plan = model.encoding._kernel_plan()
+    mlp = model.network
+    enc = model.encoding
+    n_net = mlp.n_params
+    enc_pad = enc.padded_output_width - plan.out_width
+    net_p, enc_p = params[:n_net], params[n_net:]
+    table_packed = gk.repack_table(plan, enc_p)
+    wts = []
+    off = 0
+    for r, c in mlp.layer_sizes():
+        wts.append(
+            net_p[off : off + r * c].reshape(r, c).T.astype(jnp.bfloat16)
+        )
+        off += r * c
+    n_w = len(wts)
+
+    b = x.shape[0]
+    nt = max(plan.batch_tile // 4, 128)
+    padded = -(-b // nt) * nt
+    if padded != b:
+        x = jnp.pad(x, ((0, padded - b), (0, 0)))
+        gy = jnp.pad(gy, ((0, padded - b), (0, 0)))
+
+    consts = gk._plan_constants(plan)
+    out_w = mlp.padded_output_width
+    ext_specs, ext_args = gk._ext_specs_args(plan, x, nt=nt)
+
+    in_specs = (
+        [
+            pl.BlockSpec((nt, x.shape[1]), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nt, out_w), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (plan.h_total, LANE * plan.f), lambda g: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + gk._const_specs(consts)
+        + [
+            pl.BlockSpec(w.shape, lambda g: (0, 0), memory_space=pltpu.VMEM)
+            for w in wts
+        ]
+        + ext_specs
+    )
+    out_specs = (
+        [
+            pl.BlockSpec(
+                (plan.h_total, LANE * plan.f), lambda g: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        + [
+            pl.BlockSpec(w.shape, lambda g: (0, 0), memory_space=pltpu.VMEM)
+            for w in wts
+        ]
+        + [
+            pl.BlockSpec((nt, x.shape[1]), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM)
+        ]
+    )
+    out_shape = (
+        [jax.ShapeDtypeStruct((plan.h_total, LANE * plan.f), jnp.float32)]
+        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wts]
+        + [jax.ShapeDtypeStruct((padded, x.shape[1]), jnp.float32)]
+    )
+    outs = pl.pallas_call(
+        functools.partial(
+            _ig_kernel, plan=plan, mlp=mlp, n_weights=n_w, enc_pad=enc_pad
+        ),
+        grid=(padded // nt,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=gk._VMEM_LIMIT,
+    )(
+        x, gy.astype(jnp.float32), table_packed,
+        *gk._const_args(consts), *wts, *ext_args,
+    )
+    gtable = outs[0]
+    gwts = outs[1 : 1 + n_w]
+    gx = outs[1 + n_w][:b]
+    genc = gk.unpack_table_grads(plan, gtable, int(enc_p.shape[0]))
+    gnet = jnp.concatenate([g.T.reshape(-1) for g in gwts])
+    return jnp.concatenate([gnet, genc]).astype(jnp.float32), gx
+
+
+def _composed_apply_ig(model, params, x):
+    """The composed (differentiable-to-second-order) reference path the
+    fused kernels must match: grid ig Pallas kernels + XLA MLP."""
+    return model.apply(
+        params, x, prepare_input_gradients=True, _no_fused_ig=True
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_ig_backward(model, params, x, gy):
+    return fused_ig_grads(model, params, x, gy)
+
+
+def _fib_fwd(model, params, x, gy):
+    return _fused_ig_backward(model, params, x, gy), (params, x, gy)
+
+
+def _fib_bwd(model, res, cts):
+    """Second order falls back to the composed machinery (whose encoding
+    backward has the bwd-bwd trio): differentiate the composed backward."""
+    params, x, gy = res
+
+    from ...common import COMPUTE_DTYPE
+
+    def composed_bwd(p, xx, g):
+        _, vjp = jax.vjp(
+            lambda pp, xxx: _composed_apply_ig(model, pp, xxx), p, xx
+        )
+        gp, gx = vjp(g.astype(COMPUTE_DTYPE))
+        return gp.astype(jnp.float32), gx.astype(jnp.float32)
+
+    _, vjp2 = jax.vjp(composed_bwd, params, x, gy)
+    ct_params, ct_x, ct_gy = vjp2(
+        (cts[0].astype(jnp.float32), cts[1].astype(jnp.float32))
+    )
+    return (
+        ct_params.astype(params.dtype),
+        ct_x.astype(x.dtype),
+        ct_gy.astype(gy.dtype),
+    )
+
+
+_fused_ig_backward.defvjp(_fib_fwd, _fib_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_apply_ig(model, params, x):
+    """Fused-forward model apply whose backward is the ig megakernel:
+    [B, D] -> [B, out_pad] bf16; gradients to params AND x (second order
+    via the composed fallback). The fast path for
+    prepare_input_gradients=True workloads (SDF, modules.bwd)."""
+    return fused_forward(model, params, x)
+
+
+def _fai_fwd(model, params, x):
+    return fused_apply_ig(model, params, x), (params, x)
+
+
+def _fai_bwd(model, res, gy):
+    params, x = res
+    gp, gx = _fused_ig_backward(model, params, x, gy.astype(jnp.float32))
+    return gp.astype(params.dtype), gx.astype(x.dtype)
+
+
+fused_apply_ig.defvjp(_fai_fwd, _fai_bwd)
