@@ -149,3 +149,104 @@ def test_fused_train_step_production_shape():
     assert np.isfinite(final) and final < first * 0.2, (first, final)
     p = np.asarray(m.trainer.params)
     assert np.all(np.isfinite(p))
+
+
+def test_ppng3_binned_production_shape():
+    """PPNG3 factory defaults (Q=64 -> 2^18 rows/level, 12 levels): the
+    binned ext_iw path vs the XLA oracle, fwd + table/input grads."""
+    from tcnn_tpu.ops.encodings.ppng import PPNG3Encoding
+
+    enc = PPNG3Encoding(3)  # Q64/F6/C4 -> 12.6 M params
+    assert enc._fast_plan() is not None
+    rng = np.random.default_rng(0)
+    params = jnp.asarray(
+        rng.standard_normal(enc.n_params).astype(np.float32) * 0.3
+    )
+    b = 1 << 16
+    x = jnp.asarray(rng.uniform(0.02, 0.98, (b, 3)), jnp.float32)
+    gyw = jnp.asarray(
+        rng.standard_normal((b, enc.n_output_dims)).astype(np.float32)
+    )
+
+    y = jax.jit(
+        lambda p, xx: enc.apply_unpadded(
+            p, xx, compute_dtype=jnp.float32, impl="pallas"
+        )
+    )(params, x)
+    y_ref = np.asarray(
+        enc.apply_unpadded(params[:], x[:2048], compute_dtype=jnp.float32,
+                           impl="xla")
+    )
+    np.testing.assert_allclose(
+        np.asarray(y[:2048], np.float32), y_ref, atol=3e-2, rtol=3e-2
+    )
+
+    def loss(impl):
+        def f(p, xx):
+            return jnp.sum(
+                enc.apply_unpadded(
+                    p, xx, compute_dtype=jnp.float32, impl=impl
+                ) * gyw
+            )
+
+        return f
+
+    gp, gx = jax.jit(jax.grad(loss("pallas"), argnums=(0, 1)))(params, x)
+    gp_ref, gx_ref = jax.jit(jax.grad(loss("xla"), argnums=(0, 1)))(
+        params, x
+    )
+    for a, b_, tol in ((gp, gp_ref, 1e-2), (gx, gx_ref, 1e-2)):
+        rel = float(
+            jnp.linalg.norm(a - b_) / (jnp.linalg.norm(b_) + 1e-12)
+        )
+        assert rel < tol, rel
+
+
+def test_fused_ig_production_shape():
+    """fused_apply_ig at config_hash scale vs the composed ig route
+    (Sigmoid hidden units - see test_fused_ig.py on ReLU mask flips)."""
+    import tcnn_tpu as tc
+    from tcnn_tpu.ops.pallas.train_kernel import fused_apply_ig, supported_ig
+
+    model = tc.create_network_with_input_encoding(
+        2, 3,
+        {"otype": "HashGrid", "n_levels": 16, "n_features_per_level": 2,
+         "log2_hashmap_size": 15, "base_resolution": 16,
+         "per_level_scale": 1.5},
+        {"otype": "FullyFusedMLP", "n_neurons": 64, "n_hidden_layers": 2,
+         "activation": "Sigmoid"},
+    )
+    model.encoding.fast_input_grads = True
+    assert supported_ig(model)
+    rng = np.random.default_rng(1)
+    params = jnp.asarray(model.init_params(jax.random.PRNGKey(2)))
+    n_net = model.network.n_params
+    params = params.at[n_net:].set(
+        jnp.asarray(
+            rng.standard_normal(params.shape[0] - n_net).astype(np.float32)
+            * 0.5
+        )
+    )
+    b = 1 << 16
+    x = jnp.asarray(rng.uniform(0.02, 0.98, (b, 2)), jnp.float32)
+    gyw = jnp.asarray(
+        rng.standard_normal((b, model.padded_output_width)).astype(
+            np.float32
+        )
+    )
+
+    def fused(p, xx):
+        return jnp.sum(fused_apply_ig(model, p, xx).astype(jnp.float32) * gyw)
+
+    def composed(p, xx):
+        y = model.apply(p, xx, prepare_input_gradients=True,
+                        _no_fused_ig=True)
+        return jnp.sum(y.astype(jnp.float32) * gyw)
+
+    gp, gx = jax.jit(jax.grad(fused, argnums=(0, 1)))(params, x)
+    gp_ref, gx_ref = jax.jit(jax.grad(composed, argnums=(0, 1)))(params, x)
+    for a, b_ in ((gp, gp_ref), (gx, gx_ref)):
+        rel = float(
+            jnp.linalg.norm(a - b_) / (jnp.linalg.norm(b_) + 1e-12)
+        )
+        assert rel < 2e-2, rel
