@@ -1,0 +1,116 @@
+"""Round-3 headline probes: where do the non-kernel ms of the bench step go,
+and is there tile/scheduling headroom left in the fused kernel?
+
+Targets (VERDICT r2 item 1): bench 6.45 M -> >= 9 M samples/s on config_hash
+b=2^18. Accounting so far (ablate_step_phases.py, round 2): fused kernel
+~34 ms of a ~40.6 ms bench step; sampling 1.6; Adam 0.3. This script probes
+the unaccounted ~4-5 ms (batch RNG? dispatch? loss tail?) plus re-tunes
+the fused tile now that the round-3 kernel changed.
+
+Run on the bench chip: python scripts/probe_r3_headline.py
+"""
+import dataclasses
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+import tcnn_tpu as tc
+from tcnn_tpu.ops.pallas.train_kernel import fused_train_grads
+from tcnn_tpu.utils.image import build_quad_table, sample_image_quad, synthetic_image
+
+B = 1 << 18
+
+
+def timeit(fn, *args, iters=30):
+    r = fn(*args)
+    np.asarray(jax.tree.leaves(r)[0].reshape(-1)[:1])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(*args)
+    np.asarray(jax.tree.leaves(r)[0].reshape(-1)[:1])
+    return (time.perf_counter() - t0 - 0.03) / iters
+
+
+config = tc.load_config("data/config_hash.json")
+m = tc.create_from_config(2, 3, config)
+tr = m.trainer
+img = synthetic_image(1024, 1024)
+quad = jax.jit(build_quad_table)(jnp.asarray(img))
+key_tf = jax.random.PRNGKey(0)
+key_rbg = jax.random.key(0, impl="rbg")
+x = jax.random.uniform(key_tf, (B, 2))
+t = sample_image_quad(quad, 1024, 1024, x)
+params = tr.state["params"]
+
+# ---- A. batch RNG cost: threefry vs rbg (split + uniform, the bench's
+# per-step generation work) --------------------------------------------------
+for name, k in (("threefry", key_tf), ("rbg", key_rbg)):
+    def gen(kk):
+        kk, k2 = jax.random.split(kk)
+        return kk, jax.random.uniform(k2, (B, 2))
+
+    f = jax.jit(gen)
+    dt = timeit(f, k)
+    print(f"A. split+uniform 2^18x2 [{name:8s}]: {dt*1e3:7.2f} ms")
+
+# ---- B. sampling alone ------------------------------------------------------
+f_sample = jax.jit(lambda q, xx: sample_image_quad(q, 1024, 1024, xx))
+print(f"B. quad sampling (given xy)        : {timeit(f_sample, quad, x)*1e3:7.2f} ms")
+
+# ---- C. fused kernel tile sweep --------------------------------------------
+plan0 = m.network.encoding._kernel_plan()
+for tile in (512, 1024, 1536, 2048):  # nt = tile//4
+    plan_t = dataclasses.replace(plan0, batch_tile=tile)
+    m.network.encoding._kernel_plan = lambda p=plan_t: p  # type: ignore
+    try:
+        f_fused = jax.jit(
+            lambda p, xx, tt: fused_train_grads(
+                m.network, tr.loss_fn, p, xx, tt, tr.loss_scale
+            )
+        )
+        dt = timeit(f_fused, params, x, t)
+        print(f"C. fused kernel nt={tile//4:4d}          : {dt*1e3:7.2f} ms")
+    except Exception as e:  # noqa: BLE001 - OOM tiles report and continue
+        print(f"C. fused kernel nt={tile//4:4d}          : FAILED {type(e).__name__}")
+    finally:
+        del m.network.encoding._kernel_plan
+print()
+
+# ---- D. full bench step: threefry vs rbg, scan 10 vs 20 ---------------------
+def make_bench(scan_steps):
+    def multi(state, kk, q):
+        def step(carry, _):
+            st, k0 = carry
+            k0, k2 = jax.random.split(k0)
+            xy = jax.random.uniform(k2, (B, 2))
+            rgb = sample_image_quad(q, 1024, 1024, xy)
+            st, loss = tr.train_step_fn(st, xy, rgb)
+            return (st, k0), loss
+
+        (state, kk), losses = jax.lax.scan(step, (state, kk), None,
+                                           length=scan_steps)
+        return state, kk, losses[-1]
+
+    return jax.jit(multi, donate_argnums=(0,))
+
+
+for name, k in (("threefry", key_tf), ("rbg", key_rbg)):
+    for scan_steps in (10, 20):
+        f = make_bench(scan_steps)
+        st = jax.tree.map(jnp.copy, tr.state)
+        st, kk, loss = f(st, k, quad)
+        np.asarray(loss)
+        t0 = time.perf_counter()
+        for _ in range(60 // scan_steps):
+            st, kk, loss = f(st, kk, quad)
+        np.asarray(loss)
+        dt = (time.perf_counter() - t0 - 0.03) / 60
+        print(f"D. bench step [{name:8s} scan={scan_steps:2d}]   : "
+              f"{dt*1e3:7.2f} ms -> {B/dt/1e6:.2f} M samples/s")

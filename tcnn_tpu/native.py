@@ -20,8 +20,15 @@ import threading
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libtcnn_host.so")
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_NATIVE_DIR = os.path.join(os.path.dirname(_PKG_DIR), "native")
+#: installed wheels carry the lib inside the package (setup.py build hook);
+#: source checkouts build it on demand into native/ via the Makefile
+_PKG_LIB_PATH = os.path.join(_PKG_DIR, "libtcnn_host.so")
+_LIB_PATH = (
+    _PKG_LIB_PATH if os.path.exists(_PKG_LIB_PATH)
+    else os.path.join(_NATIVE_DIR, "libtcnn_host.so")
+)
 
 _lock = threading.Lock()
 _lib = None
