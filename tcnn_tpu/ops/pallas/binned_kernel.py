@@ -183,18 +183,50 @@ def _level_hashed(enc, l: int) -> bool:
     uint32-wrapping dense stride exceeds the table size - the exact
     `use_hash` condition of GridEncoding._grid_indices /
     common_device.h:690-707)."""
+    hashed, _ = _level_index_class(enc, l)
+    return hashed
+
+
+def _level_wrap_degenerate(enc, l: int) -> bool:
+    """True iff level l is UNHASHED only because the reference's uint32
+    stride wrapped (common_device.h:697 note: `stride *= resolution`
+    overflows at fine levels). The reference then indexes with the WRAPPED
+    linear form - e.g. 2D T=2^19 scale 2.0 (the reference's DEFAULT
+    config) levels 12-15 collapse to `pos0 + pos1*2^(l+4) mod 2^32` with
+    the pos1 term partially or fully vanishing mod table size.
+
+    These levels are admitted into the binned suffix: their index is a
+    LOW-DIMENSIONAL CONTIGUOUS linear form, so the low-bit superblock key
+    spreads spatially clustered batches across consecutive superblocks and
+    duplicate rows (the common case - whole coordinate ranges alias one
+    row) are deduplicated into one slot. Overflow needs inputs lattice-
+    aligned to exact multiples of S grid cells at a >=2^16 resolution -
+    adversarial; the runtime drop counter (warn_binned_drops /
+    count_drops) detects it. Genuinely dense/tiled levels at the cap stay
+    excluded (ADVICE r2: their 2-D correlated keys can exceed cap on
+    ordinary clustered batches)."""
+    hashed, wrap_degenerate = _level_index_class(enc, l)
+    return (not hashed) and wrap_degenerate
+
+
+def _level_index_class(enc, l: int) -> tuple[bool, bool]:
+    """(hashing active, unhashed-only-because-uint32-stride-wrapped)."""
     from ..encodings.grid import GridType
 
     if GridType(enc.grid_type) != GridType.Hash:
-        return False
+        return False, False
     size = int(enc._sizes[l])
     res = int(enc._resolutions[l])
     stride = 1
+    stride_true = 1  # unbounded-integer twin of the uint32 stride
     for _ in range(enc.n_dims_to_encode):
         if stride > size:
             break
         stride = (stride * res) & 0xFFFFFFFF
-    return size < stride
+        stride_true *= res
+    if size < stride:
+        return True, False
+    return False, stride != stride_true and size < stride_true
 
 
 @dataclasses.dataclass(frozen=True)
@@ -215,18 +247,27 @@ def split_plan_for(enc) -> SplitPlan | None:
     2^log2_hashmap_size cap, grid.h:685-730) - identical power-of-two
     sizes are what lets one (level, superblock) grid serve them all.
 
-    Only levels where HASHING is active (grid_type Hash and dense stride
-    overflowing the table, common_device.h:690-707) qualify: the Poisson
-    overflow bound on `cap` assumes hash-uniform superblock keys, and
-    non-hashed levels (Tiled at the cap, or a dense level whose aligned
-    size coincides with the max) have spatially correlated low index bits
-    that clustered batches could pile into one superblock."""
+    Levels qualify when HASHING is active (grid_type Hash and dense stride
+    overflowing the table, common_device.h:690-707) - the Poisson overflow
+    bound on `cap` assumes hash-uniform superblock keys - OR when hashing
+    is inactive only because the uint32 stride WRAPPED (the reference's
+    finest-level degeneracy; see _level_wrap_degenerate - the index is a
+    contiguous low-dim linear form the low-bit keys spread well, and the
+    reference's DEFAULT 2D/3D scale-2.0 T=2^19 config has four such
+    levels). Other non-hashed levels (Tiled at the cap, or a dense level
+    whose aligned size coincides with the max) stay excluded: their
+    spatially correlated 2-D index structure can pile ordinary clustered
+    batches into one superblock."""
     sizes = [int(s) for s in enc._sizes[: enc.n_levels]]
     max_size = max(sizes)
     if max_size < MIN_BINNED_ROWS or (max_size & (max_size - 1)) != 0:
         return None
     l0 = enc.n_levels
-    while l0 > 0 and sizes[l0 - 1] == max_size and _level_hashed(enc, l0 - 1):
+    while (
+        l0 > 0
+        and sizes[l0 - 1] == max_size
+        and (_level_hashed(enc, l0 - 1) or _level_wrap_degenerate(enc, l0 - 1))
+    ):
         l0 -= 1
     if l0 >= enc.n_levels:
         return None

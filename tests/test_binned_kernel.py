@@ -421,3 +421,90 @@ def test_binned_ig_second_order_matches_oracle():
     assert (
         np.linalg.norm(gp - gp_ref) / (np.linalg.norm(gp_ref) + 1e-9) < 5e-2
     ), np.abs(gp - gp_ref).max()
+
+
+# ---------------------------------------------------------------------------
+# Wrap-degenerate levels (uint32 stride overflow, common_device.h:697): the
+# reference-DEFAULT scale-2.0 T=2^19 config has four unhashed-by-wraparound
+# top levels; they must ride the binned suffix (regression: the r3 hashed-
+# only gating silently dropped the default config to the XLA fallback)
+# ---------------------------------------------------------------------------
+
+
+def _wrap_enc():
+    """2 levels; level 1 has res 65536 -> stride wraps to 0 (unhashed) while
+    the true dense stride 2^32 exceeds the 2^16-row table."""
+    return GridEncoding(
+        2, n_levels=2, n_features_per_level=2, log2_hashmap_size=16,
+        base_resolution=16, per_level_scale=4096.0,
+    )
+
+
+def test_reference_default_config_keeps_binned_path():
+    enc = GridEncoding(
+        2, n_levels=16, n_features_per_level=2, log2_hashmap_size=19,
+        base_resolution=16, per_level_scale=2.0,
+    )
+    split = enc._binned_split()
+    assert split is not None
+    # levels 6-11 hashed, 12-15 wrap-degenerate: all ten join the suffix
+    assert split.binned.n_levels == 10 and split.n_prefix_levels == 6
+    assert [bk._level_hashed(enc, l) for l in range(6, 16)] == [True] * 6 + [False] * 4
+    assert [bk._level_wrap_degenerate(enc, l) for l in range(12, 16)] == [True] * 4
+    # a Tiled grid at the cap stays excluded (ADVICE r2: correlated keys)
+    tiled = GridEncoding(
+        2, n_levels=16, n_features_per_level=2, log2_hashmap_size=19,
+        base_resolution=16, per_level_scale=2.0, grid_type=GridType.Tiled,
+    )
+    assert not any(bk._level_wrap_degenerate(tiled, l) for l in range(16))
+
+
+def test_wrap_degenerate_level_matches_oracle():
+    enc = _wrap_enc()
+    assert bk._level_wrap_degenerate(enc, 1) and not bk._level_hashed(enc, 1)
+    split = enc._binned_split()
+    assert split is not None and split.binned.n_levels == 1
+
+    rng = np.random.default_rng(3)
+    params = jnp.asarray(rng.uniform(-1, 1, enc.n_params), jnp.float32)
+    x = jnp.asarray(rng.uniform(0.0, 1.0, (1024, 2)), jnp.float32)
+    gy = jnp.asarray(rng.normal(size=(1024, enc.n_output_dims)), jnp.float32)
+
+    def loss(p, impl):
+        y = (
+            bk.grid_encode_split(split, p, x).astype(jnp.float32)
+            if impl == "binned"
+            else enc.apply_unpadded(p, x, compute_dtype=jnp.float32,
+                                    impl="xla")
+        )
+        return jnp.sum(y * gy), y
+
+    (_, y_ref), g_ref = jax.value_and_grad(
+        lambda p: loss(p, "xla"), has_aux=True
+    )(params)
+    with pltpu.force_tpu_interpret_mode():
+        (_, y_bin), g_bin = jax.value_and_grad(
+            lambda p: loss(p, "binned"), has_aux=True
+        )(params)
+    np.testing.assert_allclose(
+        np.asarray(y_bin, np.float32), np.asarray(y_ref, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_bin), np.asarray(g_ref), atol=5e-2, rtol=5e-2
+    )
+
+
+def test_wrap_degenerate_clustered_inputs_drop_nothing():
+    """The rationale for admitting wrap-degenerate levels: their contiguous
+    low-dim index form spreads CLUSTERED batches across consecutive
+    superblocks (and aliased coordinates dedup into one slot), so the cap
+    holds where a genuinely tiled level could overflow."""
+    enc = _wrap_enc()
+    split = enc._binned_split()
+    rng = np.random.default_rng(4)
+    for lo, hi in ((0.4, 0.4005), (0.25, 0.2501), (0.0, 1.0)):
+        x = jnp.asarray(rng.uniform(lo, hi, (2048, 2)), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            nd = int(bk.count_drops(split, x))
+        assert nd == 0, (lo, hi, nd)
