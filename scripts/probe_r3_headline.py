@@ -101,6 +101,24 @@ def make_bench(scan_steps):
     return jax.jit(multi, donate_argnums=(0,))
 
 
+# ---- C2. fused-inference tile sweep (no scatter -> VMEM-light; the
+# composed path pipelines at nt=1024, maybe bigger is better here) ---------
+from tcnn_tpu.ops.pallas.train_kernel import fused_forward
+
+for tile in (1024, 2048, 4096):
+    plan_t = dataclasses.replace(plan0, batch_tile=tile)
+    m.network.encoding._kernel_plan = lambda p=plan_t: p  # type: ignore
+    try:
+        f_inf = jax.jit(lambda p, xx: fused_forward(m.network, p, xx))
+        dt = timeit(f_inf, params, x)
+        print(f"C2. fused inference nt={tile:5d}     : {dt*1e3:7.2f} ms "
+              f"-> {B/dt/1e6:.2f} M samples/s")
+    except Exception as e:  # noqa: BLE001
+        print(f"C2. fused inference nt={tile:5d}     : FAILED {type(e).__name__}")
+    finally:
+        del m.network.encoding._kernel_plan
+print()
+
 for name, k in (("threefry", key_tf), ("rbg", key_rbg)):
     for scan_steps in (10, 20):
         f = make_bench(scan_steps)
