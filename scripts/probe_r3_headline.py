@@ -64,23 +64,35 @@ for name, k in (("threefry", key_tf), ("rbg", key_rbg)):
 f_sample = jax.jit(lambda q, xx: sample_image_quad(q, 1024, 1024, xx))
 print(f"B. quad sampling (given xy)        : {timeit(f_sample, quad, x)*1e3:7.2f} ms")
 
-# ---- C. fused kernel tile sweep --------------------------------------------
+# ---- C. fused kernel (tile, recompute-masks) sweep -------------------------
+# recompute=True rebuilds the one-hot masks in the scatter instead of caching
+# them across the MLP - ~14 MB less VMEM at nt=256, so bigger tiles fit.
+from tcnn_tpu.ops.pallas import train_kernel as tk
+
 plan0 = m.network.encoding._kernel_plan()
-for tile in (512, 1024, 1536, 2048):  # nt = tile//4
-    plan_t = dataclasses.replace(plan0, batch_tile=tile)
-    m.network.encoding._kernel_plan = lambda p=plan_t: p  # type: ignore
-    try:
-        f_fused = jax.jit(
-            lambda p, xx, tt: fused_train_grads(
-                m.network, tr.loss_fn, p, xx, tt, tr.loss_scale
+best = (1e9, False, 4)
+for recompute in (False, True):
+    for div in (8, 4, 2, 1):  # nt = 1024 // div
+        tk.RECOMPUTE_MASKS = recompute
+        tk.FUSED_TILE_DIV = div
+        try:
+            f_fused = jax.jit(
+                lambda p, xx, tt: fused_train_grads(
+                    m.network, tr.loss_fn, p, xx, tt, tr.loss_scale
+                )
             )
-        )
-        dt = timeit(f_fused, params, x, t)
-        print(f"C. fused kernel nt={tile//4:4d}          : {dt*1e3:7.2f} ms")
-    except Exception as e:  # noqa: BLE001 - OOM tiles report and continue
-        print(f"C. fused kernel nt={tile//4:4d}          : FAILED {type(e).__name__}")
-    finally:
-        del m.network.encoding._kernel_plan
+            dt = timeit(f_fused, params, x, t)
+            print(f"C. fused nt={1024//div:4d} recompute={int(recompute)}"
+                  f"   : {dt*1e3:7.2f} ms")
+            best = min(best, (dt, recompute, div))
+        except Exception as e:  # noqa: BLE001 - OOM tiles report and continue
+            print(f"C. fused nt={1024//div:4d} recompute={int(recompute)}"
+                  f"   : FAILED {type(e).__name__}")
+# section D runs the full bench step with the best fused config from C
+tk.RECOMPUTE_MASKS = best[1]
+tk.FUSED_TILE_DIV = best[2]
+print(f"   -> best: recompute={int(best[1])} div={best[2]} "
+      f"({best[0]*1e3:.2f} ms)")
 print()
 
 # ---- D. full bench step: threefry vs rbg, scan 10 vs 20 ---------------------

@@ -47,6 +47,14 @@ from . import grid_kernel as gk
 
 LANE = 128
 
+#: fused-kernel scheduling knobs, overridable for tuning sweeps
+#: (scripts/probe_r3_headline.py). nt = max(batch_tile // FUSED_TILE_DIV,
+#: 128); RECOMPUTE_MASKS=True drops the cached per-level one-hot masks
+#: between gather and scatter and rebuilds them (more VPU work, ~14 MB less
+#: VMEM at nt=256 - lets bigger tiles fit for better MXU efficiency).
+FUSED_TILE_DIV = 4
+RECOMPUTE_MASKS = False
+
 
 def supported(model, loss, perturbation_sigma: float = 0.0) -> bool:
     """Whether the fused train kernel covers this (model, loss) config.
@@ -114,6 +122,7 @@ def _kernel(
     has_pdf,
     has_noise,
     has_ext_dl,
+    recompute,
 ):
     n_w = n_weights
     stochastic = plan.stochastic
@@ -189,8 +198,9 @@ def _kernel(
             built[nl] = _build(nl, plan.levels[nl])
         oh, ohlo_w = built.pop(l)
         level = plan.levels[l]
-        ohs.append(None if stochastic else oh)
-        ohlo_ws.append(None if stochastic else ohlo_w)
+        keep = not (stochastic or recompute)
+        ohs.append(oh if keep else None)
+        ohlo_ws.append(ohlo_w if keep else None)
         tbl = table_ref[level.row_off : level.row_off + level.h, :]
         g = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)
         for f in range(F):
@@ -354,19 +364,36 @@ def _kernel(
 
     gy_c = jnp.concatenate([genc] * C, axis=0)  # [C*Nt, L*F]
 
-    # ---- grid scatter (reusing oh / ohlo_w) ---------------------------------
-    for l, level in enumerate(plan.levels):
-        if ohs[l] is None:  # max_level-clamped: gradient stays zero
-            continue
+    # ---- grid scatter (reusing oh / ohlo_w when cached) --------------------
+    # max_level-clamped levels keep zero gradients: only `active` scatters.
+    # Like the gather loop, the VPU work for level l+1 (mask rebuild in
+    # recompute mode + the rhs expansion) is emitted BEFORE level l's
+    # scatter matmul so the VLIW scheduler can hide it under the MXU.
+    def _scatter_operands(l):
+        if ohs[l] is not None:
+            oh_l, ohlo_l = ohs[l], ohlo_ws[l]
+        else:  # recompute mode: rebuild from the (small, live) hi/lo/cw
+            oh_l, ohlo_l = _build(l, plan.levels[l])
         rhs = jnp.concatenate(
             [
-                ohlo_ws[l] * gy_c[:, l * F + f : l * F + f + 1]
+                ohlo_l * gy_c[:, l * F + f : l * F + f + 1]
                 for f in range(F)
             ],
             axis=1,
         ).astype(jnp.bfloat16)
+        return oh_l, rhs
+
+    pend = {}
+    if active:
+        pend[active[0]] = _scatter_operands(active[0])
+    for i, l in enumerate(active):
+        if i + 1 < len(active):
+            nl = active[i + 1]
+            pend[nl] = _scatter_operands(nl)
+        oh_l, rhs = pend.pop(l)
+        level = plan.levels[l]
         contrib = jax.lax.dot_general(
-            ohs[l],
+            oh_l,
             rhs,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -515,7 +542,10 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None,
     # standalone grid kernels. Measured on v5e (config_hash, b=2^18):
     # tile 1024 OOMs VMEM (~126 MB), 512 -> 38.8 ms, 256 -> 34.8 ms (best:
     # live masks fit comfortably and pipeline), 128 -> 38.4 ms.
-    nt = max(plan.batch_tile // 4, 128)
+    # RECOMPUTE_MASKS trades the cached masks for a rebuild in the scatter,
+    # freeing VMEM for bigger tiles (sweep via FUSED_TILE_DIV).
+    recompute = RECOMPUTE_MASKS
+    nt = max(plan.batch_tile // FUSED_TILE_DIV, 128)
     padded = -(-b // nt) * nt
     out_dims = targets.shape[1]
     if padded != b:
@@ -542,6 +572,7 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None,
         has_pdf=pdf is not None,
         has_noise=noise is not None,
         has_ext_dl=ext_dl,
+        recompute=recompute,
     )
 
     in_specs = (
@@ -803,14 +834,21 @@ def _ig_kernel(x_ref, gy_ref, table_ref, *rest, plan, mlp, n_weights,
     gy_c = jnp.concatenate([genc] * C, axis=0)  # [C*Nt, L*F]
 
     # ---- grid scatter (reusing oh / ohlo) -------------------------------
-    for l, level in enumerate(plan.levels):
+    # one-ahead rhs expansion, like the train kernel's scatter: the VPU
+    # build for level l+1 is emitted before level l's MXU scatter
+    def _ig_rhs(l):
         rhs_cols = []
         for f in range(F):
             gcol = gy_c[:, l * F + f : l * F + f + 1]
             rhs_cols.append(ohlos[l] * (gcol * cw[:, l : l + 1]))
-        rhs = jnp.concatenate(rhs_cols, axis=1).astype(jnp.bfloat16)
+        return jnp.concatenate(rhs_cols, axis=1).astype(jnp.bfloat16)
+
+    pend = {0: _ig_rhs(0)}
+    for l, level in enumerate(plan.levels):
+        if l + 1 < L:
+            pend[l + 1] = _ig_rhs(l + 1)
         contrib = jax.lax.dot_general(
-            ohs[l], rhs,
+            ohs[l], pend.pop(l),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )

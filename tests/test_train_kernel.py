@@ -360,3 +360,56 @@ def test_fused_rng_stochastic_matches_xla():
     gr, gf = np.asarray(g_ref), np.asarray(g_f)
     rel = np.linalg.norm(gf - gr) / max(np.linalg.norm(gr), 1e-12)
     assert rel < 8e-2, rel
+
+
+def test_fused_recompute_masks_matches_default(monkeypatch):
+    """RECOMPUTE_MASKS=True (masks rebuilt in the scatter instead of cached
+    between gather and scatter - the big-tile VMEM mode) must be bit-exact
+    with the default mode: the rebuilt one-hots come from the same live
+    hi/lo/cw arrays."""
+    from tcnn_tpu.ops.pallas import train_kernel as tk
+
+    m = _model(tile=512)
+    tr = m.trainer
+    rng = np.random.default_rng(7)
+    B = 700  # NOT a tile multiple
+    x = jnp.asarray(rng.uniform(size=(B, 2)), jnp.float32)
+    t = jnp.asarray(rng.uniform(size=(B, 3)), jnp.float32)
+
+    outs = {}
+    for recompute in (False, True):
+        monkeypatch.setattr(tk, "RECOMPUTE_MASKS", recompute)
+        with pltpu.force_tpu_interpret_mode():
+            outs[recompute] = fused_train_grads(
+                m.network, tr.loss_fn, tr.state["params"], x, t,
+                tr.loss_scale,
+            )
+    np.testing.assert_array_equal(
+        np.asarray(outs[False][0]), np.asarray(outs[True][0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs[False][1]), np.asarray(outs[True][1])
+    )
+
+
+def test_fused_recompute_masks_with_max_level(monkeypatch):
+    """recompute mode + max_level clamping: only active levels scatter."""
+    from tcnn_tpu.ops.pallas import train_kernel as tk
+
+    m = _model()
+    m.network.encoding.max_level = 0.5
+    tr = m.trainer
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.uniform(size=(512, 2)), jnp.float32)
+    t = jnp.asarray(rng.uniform(size=(512, 3)), jnp.float32)
+    outs = {}
+    for recompute in (False, True):
+        monkeypatch.setattr(tk, "RECOMPUTE_MASKS", recompute)
+        with pltpu.force_tpu_interpret_mode():
+            outs[recompute] = fused_train_grads(
+                m.network, tr.loss_fn, tr.state["params"], x, t,
+                tr.loss_scale,
+            )
+    np.testing.assert_array_equal(
+        np.asarray(outs[False][1]), np.asarray(outs[True][1])
+    )
