@@ -250,3 +250,46 @@ def test_fused_ig_production_shape():
             jnp.linalg.norm(a - b_) / (jnp.linalg.norm(b_) + 1e-12)
         )
         assert rel < 2e-2, rel
+
+
+def test_fused_recompute_mode_production_shape(monkeypatch):
+    """RECOMPUTE_MASKS big-tile mode on real hardware at batch 2^17:
+    gradients match the default mode closely (both compute the same math;
+    Mosaic layout/VMEM behavior at nt=512+ is what interpret mode cannot
+    check)."""
+    import tcnn_tpu as tc
+    from tcnn_tpu.ops.pallas import train_kernel as tk
+    from tcnn_tpu.ops.pallas.train_kernel import fused_train_grads
+
+    cfg = {
+        "loss": {"otype": "RelativeL2"},
+        "optimizer": {"otype": "Adam", "learning_rate": 1e-2},
+        "encoding": {"otype": "HashGrid", "n_levels": 16,
+                     "n_features_per_level": 2, "log2_hashmap_size": 15,
+                     "base_resolution": 16, "per_level_scale": 1.5},
+        "network": {"otype": "FullyFusedMLP", "n_neurons": 64,
+                    "n_hidden_layers": 2},
+    }
+    m = tc.create_from_config(2, 3, cfg)
+    tr = m.trainer
+    key = jax.random.PRNGKey(3)
+    x = jax.random.uniform(key, (1 << 17, 2))
+    t = jnp.stack(
+        [jnp.sin(6 * x[:, 0]) * 0.5 + 0.5, x[:, 1], x[:, 0] * x[:, 1]], -1
+    )
+    outs = {}
+    for recompute, div in ((False, 4), (True, 2)):
+        monkeypatch.setattr(tk, "RECOMPUTE_MASKS", recompute)
+        monkeypatch.setattr(tk, "FUSED_TILE_DIV", div)
+        lv, g = jax.jit(
+            lambda p, xx, tt: fused_train_grads(
+                m.network, tr.loss_fn, p, xx, tt, tr.loss_scale
+            )
+        )(tr.state["params"], x, t)
+        outs[recompute] = (float(lv), np.asarray(g))
+    assert np.isclose(outs[False][0], outs[True][0], rtol=1e-4)
+    ga, gb = outs[False][1], outs[True][1]
+    rel = np.linalg.norm(ga - gb) / max(np.linalg.norm(ga), 1e-12)
+    # different tile boundaries reorder the bf16 accumulation; same class
+    # as the composed-vs-fused tolerance
+    assert rel < 1e-2, rel
