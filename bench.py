@@ -17,10 +17,36 @@ Prints one JSON line:
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _wait_for_tpu(max_wait_s: float = 1800.0) -> None:
+    """The axon sitecustomize blocks at `import jax` while the TPU tunnel
+    is down; probe in a SUBPROCESS (killable) until the tunnel answers so
+    a transient outage doesn't turn the bench into a silent hang."""
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=90, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            if time.time() > deadline:
+                sys.stderr.write("# TPU tunnel unreachable; proceeding\n")
+                return
+            sys.stderr.write("# waiting for TPU tunnel...\n")
+            time.sleep(30)
+
+
+if os.environ.get("JAX_PLATFORMS", "") == "axon":
+    _wait_for_tpu()
 
 import jax
 
