@@ -39,8 +39,10 @@ def _wait_for_tpu(max_wait_s: float = 1800.0) -> None:
             return
         except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
             if time.time() > deadline:
-                sys.stderr.write("# TPU tunnel unreachable; proceeding\n")
-                return
+                # importing jax now would block forever inside the axon
+                # sitecustomize - fail fast and visibly instead
+                sys.stderr.write("# TPU tunnel unreachable; aborting\n")
+                sys.exit(1)
             sys.stderr.write("# waiting for TPU tunnel...\n")
             time.sleep(30)
 

@@ -89,10 +89,14 @@ for recompute in (False, True):
             print(f"C. fused nt={1024//div:4d} recompute={int(recompute)}"
                   f"   : FAILED {type(e).__name__}")
 # section D runs the full bench step with the best fused config from C
-tk.RECOMPUTE_MASKS = best[1]
-tk.FUSED_TILE_DIV = best[2]
-print(f"   -> best: recompute={int(best[1])} div={best[2]} "
-      f"({best[0]*1e3:.2f} ms)")
+if best[0] < 1e8:
+    tk.RECOMPUTE_MASKS = best[1]
+    tk.FUSED_TILE_DIV = best[2]
+    print(f"   -> best: recompute={int(best[1])} div={best[2]} "
+          f"({best[0]*1e3:.2f} ms)")
+else:
+    tk.RECOMPUTE_MASKS, tk.FUSED_TILE_DIV = False, 4
+    print("   -> sweep produced NO valid config; D uses defaults")
 print()
 
 # ---- D. full bench step: threefry vs rbg, scan 10 vs 20 ---------------------

@@ -57,7 +57,9 @@ def sec_ppng3():
     }
     m = tc.create_from_config(3, 3, cfg)
     enc = m.network.encoding
-    print("PPNG3 fast plan:", enc._fast_plan() is not None)
+    assert enc._fast_plan() is not None, (
+        "PPNG3 receipt must measure the binned ext_iw fast path"
+    )
     tr = m.trainer
     x = jax.random.uniform(jax.random.PRNGKey(0), (b, 3))
     t = target3(x)

@@ -81,12 +81,17 @@ def supported(model, loss, perturbation_sigma: float = 0.0) -> bool:
         return False
     # VMEM estimate: the fused kernel caches the per-level one-hot masks
     # between gather and scatter (not needed for the stochastic scatter,
-    # which builds chosen-corner masks) - for big tables that dominates and
-    # the composed kernels (which recompute) are the right path.
-    nt = max(plan.batch_tile // 4, 128)
+    # which builds chosen-corner masks, nor under RECOMPUTE_MASKS, which
+    # rebuilds them) - for big tables that dominates and the composed
+    # kernels (which recompute) are the right path. MUST stay consistent
+    # with the knobs fused_train_grads actually runs with.
+    nt = max(plan.batch_tile // FUSED_TILE_DIV, 128)
     c_nt = plan.n_corners * nt
-    if plan.stochastic:
-        oh_bytes = ohlo_bytes = 0
+    h_max = max(lvl.h for lvl in plan.levels)
+    if plan.stochastic or RECOMPUTE_MASKS:
+        # transient masks only: ~2 levels live at once (pipelined builds)
+        oh_bytes = 2 * c_nt * h_max * 2
+        ohlo_bytes = 2 * c_nt * 128 * 4
     else:
         oh_bytes = c_nt * plan.h_total * 2  # bf16
         ohlo_bytes = c_nt * 128 * plan.n_levels * 4  # f32
@@ -214,7 +219,6 @@ def _kernel(
     # re-inflate to per-level lists (inactive levels: zero output columns)
     if len(active) != len(plan.levels):
         full_ohs, full_ohlo, full_cols = [], [], []
-        it = iter(range(len(active)))
         for l, _ in enumerate(plan.levels):
             if l in active:
                 k = active.index(l)

@@ -191,7 +191,15 @@ class Trainer:
         else:
             L = int(getattr(enc, "n_levels", 1))
             ml_key = sum(1 for l in range(L) if l < float(ml) * L + 1e-3)
-        return (ml_key, self.perturbation_sigma)
+        # fused-kernel scheduling knobs are module globals read at trace
+        # time; keying on them makes a knob flip (tuning sweeps) retrace
+        # instead of silently keeping the old schedule
+        from .ops.pallas import train_kernel as _tk
+
+        return (
+            ml_key, self.perturbation_sigma,
+            _tk.RECOMPUTE_MASKS, _tk.FUSED_TILE_DIV,
+        )
 
     def _get_jitted(self, name, fn, **jit_kwargs):
         key = (name, self._trace_baked_key())
