@@ -70,7 +70,9 @@ print(f"B. quad sampling (given xy)        : {timeit(f_sample, quad, x)*1e3:7.2f
 from tcnn_tpu.ops.pallas import train_kernel as tk
 
 plan0 = m.network.encoding._kernel_plan()
-best = (1e9, False, 4)
+best = (1e9, False, 4, "base")
+# stage 1: (recompute, tile) sweep at base; stage 2: pick variants at the
+# best schedule (full cross product would be 24 compiles)
 for recompute in (False, True):
     for div in (8, 4, 2, 1):  # nt = 1024 // div
         tk.RECOMPUTE_MASKS = recompute
@@ -84,18 +86,35 @@ for recompute in (False, True):
             dt = timeit(f_fused, params, x, t)
             print(f"C. fused nt={1024//div:4d} recompute={int(recompute)}"
                   f"   : {dt*1e3:7.2f} ms")
-            best = min(best, (dt, recompute, div))
+            best = min(best, (dt, recompute, div, "base"))
         except Exception as e:  # noqa: BLE001 - OOM tiles report and continue
             print(f"C. fused nt={1024//div:4d} recompute={int(recompute)}"
                   f"   : FAILED {type(e).__name__}")
+if best[0] < 1e8:
+    tk.RECOMPUTE_MASKS, tk.FUSED_TILE_DIV = best[1], best[2]
+    for variant in ("cwend", "v3b"):
+        tk.PICK_VARIANT = variant
+        try:
+            f_fused = jax.jit(
+                lambda p, xx, tt: fused_train_grads(
+                    m.network, tr.loss_fn, p, xx, tt, tr.loss_scale
+                )
+            )
+            dt = timeit(f_fused, params, x, t)
+            print(f"C. fused pick={variant:5s} (best sched) : {dt*1e3:7.2f} ms")
+            best = min(best, (dt, best[1], best[2], variant))
+        except Exception as e:  # noqa: BLE001
+            print(f"C. fused pick={variant:5s} (best sched) : FAILED "
+                  f"{type(e).__name__}")
 # section D runs the full bench step with the best fused config from C
 if best[0] < 1e8:
-    tk.RECOMPUTE_MASKS = best[1]
-    tk.FUSED_TILE_DIV = best[2]
+    tk.RECOMPUTE_MASKS, tk.FUSED_TILE_DIV, tk.PICK_VARIANT = (
+        best[1], best[2], best[3],
+    )
     print(f"   -> best: recompute={int(best[1])} div={best[2]} "
-          f"({best[0]*1e3:.2f} ms)")
+          f"pick={best[3]} ({best[0]*1e3:.2f} ms)")
 else:
-    tk.RECOMPUTE_MASKS, tk.FUSED_TILE_DIV = False, 4
+    tk.RECOMPUTE_MASKS, tk.FUSED_TILE_DIV, tk.PICK_VARIANT = False, 4, "base"
     print("   -> sweep produced NO valid config; D uses defaults")
 print()
 

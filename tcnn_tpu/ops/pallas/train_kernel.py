@@ -54,6 +54,20 @@ LANE = 128
 #: VMEM at nt=256 - lets bigger tiles fit for better MXU efficiency).
 FUSED_TILE_DIV = 4
 RECOMPUTE_MASKS = False
+#: lane-pick formulation (scripts/ablate_pick_v3.py analysis: 4 of the ~8
+#: per-level VPU passes are thin-column broadcasts/reduces):
+#:   "base"  per-level weight-folded lane masks (round-2 production form)
+#:   "cwend" unweighted 0/1 masks; the interpolation weight is applied as
+#:           ONE wide [C*Nt, F*L] multiply after the pick (and folded into
+#:           the cotangent before the scatter) - drops the per-level thin
+#:           cw broadcasts. Encoding columns run f-major in-kernel, with
+#:           the first MLP weight's rows permuted to match (free).
+#:   "v3b"   cwend + the pick reduce runs on the MXU: per level, the
+#:           lane-masked gather block (exact bf16 table entries) hits a
+#:           [128F, F*L] selection matmul accumulated into [C*Nt, F*L] -
+#:           no thin-column reduces or lane concats at all.
+#: All three are mathematically identical (same products, same sums).
+PICK_VARIANT = "base"
 
 
 def supported(model, loss, perturbation_sigma: float = 0.0) -> bool:
@@ -97,8 +111,85 @@ def supported(model, loss, perturbation_sigma: float = 0.0) -> bool:
         ohlo_bytes = c_nt * 128 * plan.n_levels * 4  # f32
     table_bytes = plan.h_total * 128 * plan.f * 2
     gtable_bytes = plan.h_total * 128 * plan.f * 4
-    est = oh_bytes + ohlo_bytes + table_bytes + gtable_bytes
+    mask_all_bytes = (
+        c_nt * 128 * plan.n_levels if PICK_VARIANT == "v3b" else 0
+    )
+    est = oh_bytes + ohlo_bytes + table_bytes + gtable_bytes + mask_all_bytes
     return est < 70 * 1024 * 1024
+
+
+def _resolve_variant(plan) -> str:
+    """The pick variant actually used for this plan: Nearest has no
+    interpolation weights, so the weight-at-the-end variants reduce to
+    base (and the wrapper must agree with the kernel on the enc layout)."""
+    from ...common import InterpolationType
+
+    if plan.interpolation == InterpolationType.Nearest:
+        return "base"
+    v = PICK_VARIANT
+    if v not in ("base", "cwend", "v3b"):
+        raise ValueError(f"unknown PICK_VARIANT {v!r}")
+    return v
+
+
+def _pick_consts(plan):
+    """v3b constant operands: E [L, 128L] bf16 lane-expansion
+    (E[l, l*128+j] = 1), iota [1, 128L] f32 (j % 128), S [L*128F, F*L]
+    bf16 selection (S[l*128F + f*128 + j, f*L + l] = 1)."""
+    import numpy as np
+
+    L, F = plan.n_levels, plan.f
+    E = np.zeros((L, L * LANE), np.float32)
+    for l in range(L):
+        E[l, l * LANE : (l + 1) * LANE] = 1.0
+    iota = np.tile(np.arange(LANE, dtype=np.float32), L)[None, :]
+    S = np.zeros((L * LANE * F, F * L), np.float32)
+    for l in range(L):
+        for f in range(F):
+            S[l * LANE * F + f * LANE : l * LANE * F + (f + 1) * LANE,
+              f * L + l] = 1.0
+    return (
+        jnp.asarray(E, jnp.bfloat16),
+        jnp.asarray(iota, jnp.float32),
+        jnp.asarray(S, jnp.bfloat16),
+    )
+
+
+def _fm_row_perm(plan, in_pad):
+    """Row permutation applying the kernel's f-major (f*L + l) encoding
+    layout to the first MLP weight: W0_fm = W0[perm, :]. perm maps each
+    f-major position to its public (l-major f-minor) source row; padding
+    rows stay in place. Returns (perm, inv_perm) as numpy index arrays."""
+    import numpy as np
+
+    L, F = plan.n_levels, plan.f
+    perm = np.asarray(
+        [l * F + f for f in range(F) for l in range(L)]
+        + list(range(L * F, in_pad)),
+        np.int32,
+    )
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(in_pad, dtype=np.int32)
+    return perm, inv
+
+
+def _masks_for(variant, plan, hi_cl, lo_cl, cw_cl, mask_all, l, h):
+    """One level's (hi one-hot bf16, lane mask). base: weight-folded f32
+    mask (gk._level_masks semantics). cwend: unweighted f32 0/1 mask.
+    v3b: the precomputed bool lane-mask slice (from the E-matmul)."""
+    rows = hi_cl.shape[0]
+    oh = (
+        hi_cl[:, l : l + 1]
+        == jax.lax.broadcasted_iota(jnp.int32, (rows, h), 1)
+    ).astype(jnp.bfloat16)
+    if variant == "v3b":
+        return oh, mask_all[:, l * LANE : (l + 1) * LANE]
+    lmask = lo_cl[:, l : l + 1] == jax.lax.broadcasted_iota(
+        jnp.int32, (rows, LANE), 1
+    )
+    if variant == "base" and cw_cl is not None:
+        return oh, jnp.where(lmask, cw_cl[:, l : l + 1], 0.0)
+    return oh, lmask.astype(jnp.float32)
 
 
 def _level_active(plan, l, max_level):
@@ -128,9 +219,13 @@ def _kernel(
     has_noise,
     has_ext_dl,
     recompute,
+    variant,
 ):
     n_w = n_weights
     stochastic = plan.stochastic
+    if variant == "v3b":
+        e_ref, iota_ref, s_ref = rest[:3]
+        rest = rest[3:]
     const_refs = rest[:len(gk._CONST_NAMES)]
     w_refs = rest[len(gk._CONST_NAMES) : len(gk._CONST_NAMES) + n_w]
     pos = len(gk._CONST_NAMES) + n_w
@@ -178,18 +273,33 @@ def _kernel(
     hi_cl, lo_cl, cw_cl = gk._stacked_hi_lo_w_v2(plan, cells, w, cr,
                                                  ext=ext_s)
 
+    # v3b: lane masks for ALL levels from one bf16 matmul + one wide compare
+    # (lo <= 127 is bf16-exact), instead of L thin-column broadcasts
+    mask_all = None
+    if variant == "v3b":
+        lo_b = jnp.dot(
+            lo_cl.astype(jnp.bfloat16), e_ref[:],
+            preferred_element_type=jnp.float32,
+        )  # [C*Nt, 128L]
+        mask_all = lo_b == iota_ref[:]
+
     def _build(l, level):
-        """One level's (hi one-hot, weight-folded lane mask); both the
-        weighted pick (fwd) and the weighted scatter (bwd) share ohlo_w."""
-        return gk._level_masks(plan, hi_cl, lo_cl, cw_cl, l, level.h, nt)
+        """One level's (hi one-hot, lane mask); the gather pick and the
+        scatter rhs share the mask (weight-folded for base, 0/1 for
+        cwend, bool slice for v3b)."""
+        return _masks_for(variant, plan, hi_cl, lo_cl, cw_cl, mask_all,
+                          l, level.h)
 
     # ---- grid gather (forward) ---------------------------------------------
     # the one-hot build (VPU) for level l+1 is emitted BEFORE level l's
     # matmul+pick so the VLIW scheduler can pack VPU build work under the
     # MXU gather of the previous level (measured: see PERF.md round 3)
-    ohs = []
-    ohlo_ws = []
-    cols = []
+    ohs = [None] * L
+    ohlo_ws = [None] * L
+    cols = {}  # (l, f) -> [C*Nt, 1] pick column (base / cwend)
+    picked_acc = (
+        jnp.zeros((C * nt, F * L), jnp.float32) if variant == "v3b" else None
+    )
     built = {}
     active = [
         l for l, _ in enumerate(plan.levels)
@@ -201,39 +311,51 @@ def _kernel(
         if i + 1 < len(active):
             nl = active[i + 1]
             built[nl] = _build(nl, plan.levels[nl])
-        oh, ohlo_w = built.pop(l)
+        oh, ohlo = built.pop(l)
         level = plan.levels[l]
         keep = not (stochastic or recompute)
-        ohs.append(oh if keep else None)
-        ohlo_ws.append(ohlo_w if keep else None)
+        ohs[l] = oh if keep else None
+        ohlo_ws[l] = ohlo if keep else None
         tbl = table_ref[level.row_off : level.row_off + level.h, :]
         g = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)
-        for f in range(F):
-            cols.append(
-                jnp.sum(
-                    g[:, f * LANE : (f + 1) * LANE] * ohlo_w,
+        if variant == "v3b":
+            # masked rows are single bf16 table entries -> exact cast; the
+            # selection matmul reduces lanes on the MXU, not the VPU
+            gm = jnp.where(
+                jnp.concatenate([ohlo] * F, axis=1), g, 0.0
+            ).astype(jnp.bfloat16)
+            picked_acc = picked_acc + jnp.dot(
+                gm, s_ref[l * LANE * F : (l + 1) * LANE * F, :],
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            for f in range(F):
+                cols[(l, f)] = jnp.sum(
+                    g[:, f * LANE : (f + 1) * LANE] * ohlo,
                     axis=1,
                     keepdims=True,
                 )
-            )
-    # re-inflate to per-level lists (inactive levels: zero output columns)
-    if len(active) != len(plan.levels):
-        full_ohs, full_ohlo, full_cols = [], [], []
-        for l, _ in enumerate(plan.levels):
-            if l in active:
-                k = active.index(l)
-                full_ohs.append(ohs[k])
-                full_ohlo.append(ohlo_ws[k])
-                full_cols.extend(cols[k * F : (k + 1) * F])
-            else:
-                full_ohs.append(None)
-                full_ohlo.append(None)
-                full_cols.extend(
-                    jnp.zeros((C * nt, 1), jnp.float32) for _ in range(F)
-                )
-        ohs, ohlo_ws, cols = full_ohs, full_ohlo, full_cols
 
-    picked = jnp.concatenate(cols, axis=1)  # [C*Nt, L*F] l-major f-minor
+    fm = variant != "base"  # f-major (f*L + l) enc columns in-kernel
+    if variant == "v3b":
+        picked = picked_acc
+    else:
+        zero_col = (
+            jnp.zeros((C * nt, 1), jnp.float32)
+            if len(active) != L
+            else None
+        )
+        order = (
+            [(l, f) for f in range(F) for l in range(L)]
+            if fm
+            else [(l, f) for l in range(L) for f in range(F)]
+        )
+        picked = jnp.concatenate(
+            [cols.get(lf, zero_col) for lf in order], axis=1
+        )
+    if fm and cw_cl is not None:
+        # interpolation weights applied as ONE wide multiply (cwend/v3b)
+        picked = picked * jnp.concatenate([cw_cl] * F, axis=1)
     enc = picked.reshape(C, nt, L * F).sum(axis=0)  # [Nt, L*F] f32
     if enc_pad:
         enc = jnp.concatenate(
@@ -350,13 +472,11 @@ def _kernel(
                 == jax.lax.broadcasted_iota(jnp.int32, (nt, level.h), 1)
             ).astype(jnp.bfloat16)
             ohlo1 = (slo[:, l : l + 1] == lane_iota_nt).astype(jnp.float32)
-            rhs = jnp.concatenate(
-                [
-                    ohlo1 * genc[:, l * F + f : l * F + f + 1]
-                    for f in range(F)
-                ],
-                axis=1,
-            ).astype(jnp.bfloat16)
+            s_cols = []
+            for f in range(F):
+                c0 = f * L + l if fm else l * F + f
+                s_cols.append(ohlo1 * genc[:, c0 : c0 + 1])
+            rhs = jnp.concatenate(s_cols, axis=1).astype(jnp.bfloat16)
             contrib = jax.lax.dot_general(
                 oh1, rhs,
                 dimension_numbers=(((0,), (0,)), ((), ())),
@@ -367,6 +487,10 @@ def _kernel(
         return
 
     gy_c = jnp.concatenate([genc] * C, axis=0)  # [C*Nt, L*F]
+    if fm and cw_cl is not None:
+        # cwend/v3b: weights folded into the cotangent with ONE wide
+        # multiply (the lane masks are unweighted)
+        gy_c = gy_c * jnp.concatenate([cw_cl] * F, axis=1)
 
     # ---- grid scatter (reusing oh / ohlo_w when cached) --------------------
     # max_level-clamped levels keep zero gradients: only `active` scatters.
@@ -378,13 +502,15 @@ def _kernel(
             oh_l, ohlo_l = ohs[l], ohlo_ws[l]
         else:  # recompute mode: rebuild from the (small, live) hi/lo/cw
             oh_l, ohlo_l = _build(l, plan.levels[l])
-        rhs = jnp.concatenate(
-            [
-                ohlo_l * gy_c[:, l * F + f : l * F + f + 1]
-                for f in range(F)
-            ],
-            axis=1,
-        ).astype(jnp.bfloat16)
+        rhs_cols = []
+        for f in range(F):
+            c0 = f * L + l if fm else l * F + f
+            gcol = gy_c[:, c0 : c0 + 1]
+            if variant == "v3b":  # ohlo_l is a bool lane mask
+                rhs_cols.append(jnp.where(ohlo_l, gcol, 0.0))
+            else:
+                rhs_cols.append(ohlo_l * gcol)
+        rhs = jnp.concatenate(rhs_cols, axis=1).astype(jnp.bfloat16)
         return oh_l, rhs
 
     pend = {}
@@ -406,7 +532,11 @@ def _kernel(
         gtable_ref[sl, :] = gtable_ref[sl, :] + contrib
 
 
-def _infer_kernel(x_ref, table_ref, *rest, plan, mlp, n_weights, enc_pad):
+def _infer_kernel(x_ref, table_ref, *rest, plan, mlp, n_weights, enc_pad,
+                  variant):
+    if variant == "v3b":
+        e_ref, iota_ref, s_ref = rest[:3]
+        rest = rest[3:]
     if plan.ext_hash:
         ext_ref = rest[0]
         rest = rest[1:]
@@ -426,26 +556,62 @@ def _infer_kernel(x_ref, table_ref, *rest, plan, mlp, n_weights, enc_pad):
     hi_cl, lo_cl, cw_cl = gk._stacked_hi_lo_w_v2(plan, cells, w, cr,
                                                  ext=ext_s)
 
-    def _build(l, level):
-        return gk._level_masks(plan, hi_cl, lo_cl, cw_cl, l, level.h, nt)
+    mask_all = None
+    if variant == "v3b":
+        lo_b = jnp.dot(
+            lo_cl.astype(jnp.bfloat16), e_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        mask_all = lo_b == iota_ref[:]
 
+    def _build(l, level):
+        return _masks_for(variant, plan, hi_cl, lo_cl, cw_cl, mask_all,
+                          l, level.h)
+
+    fm = variant != "base"
     cols = []
+    picked_acc = (
+        jnp.zeros((C * nt, F * L), jnp.float32) if variant == "v3b" else None
+    )
     nxt = _build(0, plan.levels[0])
     for l, level in enumerate(plan.levels):
-        oh, ohlo_w = nxt
+        oh, ohlo = nxt
         if l + 1 < L:
             nxt = _build(l + 1, plan.levels[l + 1])
         tbl = table_ref[level.row_off : level.row_off + level.h, :]
         g = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)
-        for f in range(F):
-            cols.append(
-                jnp.sum(
-                    g[:, f * LANE : (f + 1) * LANE] * ohlo_w,
-                    axis=1,
-                    keepdims=True,
-                )
+        if variant == "v3b":
+            # masked rows are single bf16 table entries -> exact cast; the
+            # lane reduce runs on the MXU via the selection matmul
+            gm = jnp.where(
+                jnp.concatenate([ohlo] * F, axis=1), g, 0.0
+            ).astype(jnp.bfloat16)
+            picked_acc = picked_acc + jnp.dot(
+                gm, s_ref[l * LANE * F : (l + 1) * LANE * F, :],
+                preferred_element_type=jnp.float32,
             )
-    enc = jnp.concatenate(cols, axis=1).reshape(C, nt, L * F).sum(axis=0)
+        else:
+            for f in range(F):
+                cols.append(
+                    jnp.sum(
+                        g[:, f * LANE : (f + 1) * LANE] * ohlo,
+                        axis=1,
+                        keepdims=True,
+                    )
+                )
+    if variant == "v3b":
+        picked = picked_acc
+    elif fm:
+        # cwend collected (l, f) l-major; emit f-major columns
+        picked = jnp.concatenate(
+            [cols[l * F + f] for f in range(F) for l in range(L)], axis=1
+        )
+    else:
+        picked = jnp.concatenate(cols, axis=1)
+    if fm and cw_cl is not None:
+        # interpolation weights applied as ONE wide multiply (cwend/v3b)
+        picked = picked * jnp.concatenate([cw_cl] * F, axis=1)
+    enc = picked.reshape(C, nt, L * F).sum(axis=0)
     if enc_pad:
         enc = jnp.concatenate(
             [enc, jnp.zeros((nt, enc_pad), enc.dtype)], axis=1
@@ -475,6 +641,10 @@ def fused_forward(model, params, x):
     for r, c in mlp.layer_sizes():
         wts.append(net_p[off : off + r * c].reshape(r, c).T.astype(jnp.bfloat16))
         off += r * c
+    variant = _resolve_variant(plan)
+    if variant != "base":
+        perm, _ = _fm_row_perm(plan, int(wts[0].shape[0]))
+        wts[0] = wts[0][perm, :]
 
     b = x.shape[0]
     nt = plan.batch_tile
@@ -484,11 +654,16 @@ def fused_forward(model, params, x):
     consts = gk._plan_constants(plan)
     out_w = mlp.padded_output_width
     ext_specs, ext_args = gk._ext_specs_args(plan, x, nt=nt, stacked=True)
+    pick_args = list(_pick_consts(plan)) if variant == "v3b" else []
+    pick_specs = [
+        pl.BlockSpec(a.shape, lambda g: (0, 0), memory_space=pltpu.VMEM)
+        for a in pick_args
+    ]
 
     y = pl.pallas_call(
         functools.partial(
             _infer_kernel, plan=plan, mlp=mlp, n_weights=len(wts),
-            enc_pad=enc_pad,
+            enc_pad=enc_pad, variant=variant,
         ),
         grid=(padded // nt,),
         in_specs=[
@@ -499,6 +674,7 @@ def fused_forward(model, params, x):
                 memory_space=pltpu.VMEM,
             ),
         ]
+        + pick_specs
         + ext_specs
         + gk._const_specs(consts)
         + [
@@ -510,7 +686,7 @@ def fused_forward(model, params, x):
         ),
         out_shape=jax.ShapeDtypeStruct((padded, out_w), jnp.bfloat16),
         compiler_params=gk._VMEM_LIMIT,
-    )(x, table_packed, *ext_args, *gk._const_args(consts), *wts)
+    )(x, table_packed, *pick_args, *ext_args, *gk._const_args(consts), *wts)
     return y[:b]
 
 
@@ -539,6 +715,13 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None,
         wts.append(net_p[off : off + r * c].reshape(r, c).T.astype(jnp.bfloat16))
         off += r * c
     n_w = len(wts)
+    variant = _resolve_variant(plan)
+    w0_inv = None
+    if variant != "base":
+        # the kernel's enc columns are f-major: permute W0's rows to match
+        # (free at trace time); gw0 is unpermuted below
+        perm, w0_inv = _fm_row_perm(plan, int(wts[0].shape[0]))
+        wts[0] = wts[0][perm, :]
 
     b = x.shape[0]
     # the fused kernel keeps per-level oh/ohlo_w masks alive between the
@@ -577,8 +760,14 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None,
         has_noise=noise is not None,
         has_ext_dl=ext_dl,
         recompute=recompute,
+        variant=variant,
     )
 
+    pick_args = list(_pick_consts(plan)) if variant == "v3b" else []
+    pick_specs = [
+        pl.BlockSpec(a.shape, lambda g: (0, 0), memory_space=pltpu.VMEM)
+        for a in pick_args
+    ]
     in_specs = (
         [
             pl.BlockSpec((nt, x.shape[1]), lambda g: (g, 0), memory_space=pltpu.VMEM),
@@ -589,6 +778,7 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None,
                 memory_space=pltpu.VMEM,
             ),
         ]
+        + pick_specs
         + gk._const_specs(consts)
         + [
             pl.BlockSpec(w.shape, lambda g: (0, 0), memory_space=pltpu.VMEM)
@@ -655,10 +845,13 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None,
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=gk._VMEM_LIMIT,
-    )(x, targets, table_packed, *gk._const_args(consts), *wts, *extra_args)
+    )(x, targets, table_packed, *pick_args, *gk._const_args(consts), *wts,
+      *extra_args)
 
     gtable = outs[0]
     gwts = outs[1 : 1 + n_w]
+    if w0_inv is not None:
+        gwts = [gwts[0][w0_inv, :]] + list(gwts[1:])
     loss_sum = outs[1 + n_w][0, 0]
 
     # the elementwise loss family normalizes by n_total = batch*dims using

@@ -198,7 +198,7 @@ class Trainer:
 
         return (
             ml_key, self.perturbation_sigma,
-            _tk.RECOMPUTE_MASKS, _tk.FUSED_TILE_DIV,
+            _tk.RECOMPUTE_MASKS, _tk.FUSED_TILE_DIV, _tk.PICK_VARIANT,
         )
 
     def _get_jitted(self, name, fn, **jit_kwargs):

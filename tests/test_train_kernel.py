@@ -413,3 +413,71 @@ def test_fused_recompute_masks_with_max_level(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(outs[False][1]), np.asarray(outs[True][1])
     )
+
+
+@pytest.mark.parametrize("variant", ["cwend", "v3b"])
+def test_fused_pick_variants_match_base(monkeypatch, variant):
+    """PICK_VARIANT formulations (unweighted masks + wide weight multiply;
+    v3b additionally reduces lanes via selection matmuls) compute the same
+    products and sums as base - loss and gradients must agree to f32
+    matmul-reorder noise (the f-major W0 row permutation changes the MXU
+    K-accumulation order)."""
+    from tcnn_tpu.ops.pallas import train_kernel as tk
+    from tcnn_tpu.ops.pallas.train_kernel import fused_forward
+
+    m = _model()
+    tr = m.trainer
+    rng = np.random.default_rng(11)
+    B = 700  # NOT a tile multiple
+    x = jnp.asarray(rng.uniform(size=(B, 2)), jnp.float32)
+    t = jnp.asarray(rng.uniform(size=(B, 3)), jnp.float32)
+
+    outs, infs = {}, {}
+    for v in ("base", variant):
+        monkeypatch.setattr(tk, "PICK_VARIANT", v)
+        with pltpu.force_tpu_interpret_mode():
+            outs[v] = fused_train_grads(
+                m.network, tr.loss_fn, tr.state["params"], x, t,
+                tr.loss_scale,
+            )
+            infs[v] = np.asarray(
+                fused_forward(m.network, tr.state["params"], x),
+                np.float32,
+            )
+    np.testing.assert_allclose(
+        float(outs[variant][0]), float(outs["base"][0]), rtol=1e-5
+    )
+    ga = np.asarray(outs["base"][1])
+    gb = np.asarray(outs[variant][1])
+    rel = np.linalg.norm(gb - ga) / max(np.linalg.norm(ga), 1e-12)
+    assert rel < 1e-4, rel
+    np.testing.assert_allclose(infs[variant], infs["base"],
+                               rtol=2e-2, atol=2e-5)
+
+
+@pytest.mark.parametrize("variant", ["cwend", "v3b"])
+def test_fused_pick_variants_stochastic_and_max_level(monkeypatch, variant):
+    """Variant layouts stay correct through the stochastic single-corner
+    scatter (f-major genc slicing) and max_level clamping (inactive levels
+    contribute zero encoding columns and zero gradients)."""
+    from tcnn_tpu.ops.pallas import train_kernel as tk
+
+    for enc_kw in ({"stochastic_interpolation": True}, {}):
+        m = _model(**enc_kw)
+        if not enc_kw:
+            m.network.encoding.max_level = 0.5
+        tr = m.trainer
+        rng = np.random.default_rng(12)
+        x = jnp.asarray(rng.uniform(size=(512, 2)), jnp.float32)
+        t = jnp.asarray(rng.uniform(size=(512, 3)), jnp.float32)
+        outs = {}
+        for v in ("base", variant):
+            monkeypatch.setattr(tk, "PICK_VARIANT", v)
+            with pltpu.force_tpu_interpret_mode():
+                outs[v] = fused_train_grads(
+                    m.network, tr.loss_fn, tr.state["params"], x, t,
+                    tr.loss_scale,
+                )
+        ga, gb = np.asarray(outs["base"][1]), np.asarray(outs[v][1])
+        rel = np.linalg.norm(gb - ga) / max(np.linalg.norm(ga), 1e-12)
+        assert rel < 1e-4, (enc_kw, rel)
