@@ -140,18 +140,23 @@ def make_bench(scan_steps):
 # composed path pipelines at nt=1024, maybe bigger is better here) ---------
 from tcnn_tpu.ops.pallas.train_kernel import fused_forward
 
-for tile in (1024, 2048, 4096):
-    plan_t = dataclasses.replace(plan0, batch_tile=tile)
-    m.network.encoding._kernel_plan = lambda p=plan_t: p  # type: ignore
-    try:
-        f_inf = jax.jit(lambda p, xx: fused_forward(m.network, p, xx))
-        dt = timeit(f_inf, params, x)
-        print(f"C2. fused inference nt={tile:5d}     : {dt*1e3:7.2f} ms "
-              f"-> {B/dt/1e6:.2f} M samples/s")
-    except Exception as e:  # noqa: BLE001
-        print(f"C2. fused inference nt={tile:5d}     : FAILED {type(e).__name__}")
-    finally:
-        del m.network.encoding._kernel_plan
+best_sched = (tk.RECOMPUTE_MASKS, tk.FUSED_TILE_DIV, tk.PICK_VARIANT)
+for variant in dict.fromkeys(("base", "cwend", "v3b")):
+    tk.PICK_VARIANT = variant
+    for tile in (1024, 2048, 4096):
+        plan_t = dataclasses.replace(plan0, batch_tile=tile)
+        m.network.encoding._kernel_plan = lambda p=plan_t: p  # type: ignore
+        try:
+            f_inf = jax.jit(lambda p, xx: fused_forward(m.network, p, xx))
+            dt = timeit(f_inf, params, x)
+            print(f"C2. fused inference nt={tile:5d} pick={variant:5s}: "
+                  f"{dt*1e3:7.2f} ms -> {B/dt/1e6:.2f} M samples/s")
+        except Exception as e:  # noqa: BLE001
+            print(f"C2. fused inference nt={tile:5d} pick={variant:5s}: "
+                  f"FAILED {type(e).__name__}")
+        finally:
+            del m.network.encoding._kernel_plan
+tk.RECOMPUTE_MASKS, tk.FUSED_TILE_DIV, tk.PICK_VARIANT = best_sched
 print()
 
 for name, k in (("threefry", key_tf), ("rbg", key_rbg)):
