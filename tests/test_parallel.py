@@ -215,6 +215,59 @@ def test_shampoo_under_mesh_matches_single_device(devices):
     assert np.mean(close) >= 0.99, f"only {np.mean(close):.4f} close"
 
 
+def test_fused_train_kernel_under_mesh(devices):
+    """The fused grid+MLP+loss+backward megakernel (train_kernel.py) is
+    the flagship single-chip path; under data parallelism each shard runs
+    the kernel on its local batch and grads are pmean'd. Interpret-mode
+    check that this composition (shard_map + Pallas kernel + pmean)
+    reproduces the global-batch fused gradients."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import PartitionSpec as P
+
+    from tcnn_tpu.ops.pallas.train_kernel import fused_train_grads
+
+    m = tc.create_from_config(2, 3, CFG)
+    plan = m.network.encoding._kernel_plan()
+    m.network.encoding._kernel_plan_cache = dataclasses.replace(
+        plan, batch_tile=512
+    )
+    tr = m.trainer
+    mesh = create_mesh(devices)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.uniform(size=(2048, 2)), jnp.float32)
+    t = _img(x)
+
+    def fused(p, xx, tt):
+        return fused_train_grads(
+            m.network, tr.loss_fn, p, xx, tt, tr.loss_scale
+        )
+
+    with pltpu.force_tpu_interpret_mode():
+        loss_g, g_global = jax.jit(fused)(tr.params, x, t)
+
+        def shard_fn(p, xx, tt):
+            lv, g = fused(p, xx, tt)
+            return jax.lax.pmean(lv, "data"), jax.lax.pmean(g, "data")
+
+        loss_dp, g_dp = jax.jit(
+            jax.shard_map(
+                shard_fn, mesh=mesh,
+                in_specs=(P(), P("data"), P("data")),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+        )(tr.params, x, t)
+
+    np.testing.assert_allclose(float(loss_dp), float(loss_g), rtol=1e-5)
+    ref = np.asarray(g_global)
+    scale = np.abs(ref).max() + 1e-12
+    np.testing.assert_allclose(
+        np.asarray(g_dp) / scale, ref / scale, atol=2e-5
+    )
+
+
 def test_pdf_normalization_matches_single_device(devices):
     """ADVICE r1: per-shard loss normalization + pmean must reproduce the
     single-device 1/n_total semantics even for pdf-weighted and
