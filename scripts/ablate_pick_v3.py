@@ -112,9 +112,15 @@ def make_kernel(variant):
                 lmask = mask_all[:, l * LANE : (l + 1) * LANE]
 
             if variant == "v3b":
-                gm = jnp.where(
-                    jnp.concatenate([lmask] * F, axis=1), g, 0.0
-                ).astype(jnp.bfloat16)  # masked rows are exact bf16 entries
+                # per-f bool selects + f32 concat (i1 lane-concat is a
+                # Mosaic relayout hazard); masked rows are exact bf16
+                gm = jnp.concatenate(
+                    [
+                        jnp.where(lmask, g[:, f * LANE : (f + 1) * LANE], 0.0)
+                        for f in range(F)
+                    ],
+                    axis=1,
+                ).astype(jnp.bfloat16)
                 picked = picked + jnp.dot(
                     gm,
                     s_ref[l * LANE * F : (l + 1) * LANE * F, :],

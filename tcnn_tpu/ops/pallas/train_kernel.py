@@ -320,9 +320,16 @@ def _kernel(
         g = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)
         if variant == "v3b":
             # masked rows are single bf16 table entries -> exact cast; the
-            # selection matmul reduces lanes on the MXU, not the VPU
-            gm = jnp.where(
-                jnp.concatenate([ohlo] * F, axis=1), g, 0.0
+            # selection matmul reduces lanes on the MXU, not the VPU.
+            # (bool masks are selected per 128-lane f-slice and the f32
+            # results concatenated - lane-concat of i1 masks is a Mosaic
+            # relayout hazard)
+            gm = jnp.concatenate(
+                [
+                    jnp.where(ohlo, g[:, f * LANE : (f + 1) * LANE], 0.0)
+                    for f in range(F)
+                ],
+                axis=1,
             ).astype(jnp.bfloat16)
             picked_acc = picked_acc + jnp.dot(
                 gm, s_ref[l * LANE * F : (l + 1) * LANE * F, :],
@@ -582,9 +589,14 @@ def _infer_kernel(x_ref, table_ref, *rest, plan, mlp, n_weights, enc_pad,
         g = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)
         if variant == "v3b":
             # masked rows are single bf16 table entries -> exact cast; the
-            # lane reduce runs on the MXU via the selection matmul
-            gm = jnp.where(
-                jnp.concatenate([ohlo] * F, axis=1), g, 0.0
+            # lane reduce runs on the MXU via the selection matmul (per-f
+            # bool selects; see the train kernel's note on i1 lane-concat)
+            gm = jnp.concatenate(
+                [
+                    jnp.where(ohlo, g[:, f * LANE : (f + 1) * LANE], 0.0)
+                    for f in range(F)
+                ],
+                axis=1,
             ).astype(jnp.bfloat16)
             picked_acc = picked_acc + jnp.dot(
                 gm, s_ref[l * LANE * F : (l + 1) * LANE * F, :],
