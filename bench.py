@@ -75,9 +75,11 @@ from tcnn_tpu.utils.image import (
 BASELINE_SAMPLES_PER_SEC = 1000.0 * (1 << 18)  # RTX 4090, README.md:75
 REFERENCE_IMAGE = "/root/reference/data/images/albert.jpg"
 
-BATCH_SIZE = 1 << 18
-WARMUP_STEPS = 100
-TIMED_STEPS = 500
+# env overrides exist for CI smoke runs on CPU (tests/test_bench_smoke.py);
+# the driver's TPU invocation uses the defaults
+BATCH_SIZE = 1 << int(os.environ.get("TCNN_BENCH_LOG2_BATCH", "18"))
+WARMUP_STEPS = int(os.environ.get("TCNN_BENCH_WARMUP", "100"))
+TIMED_STEPS = int(os.environ.get("TCNN_BENCH_STEPS", "500"))
 
 
 def main():
