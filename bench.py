@@ -77,7 +77,8 @@ REFERENCE_IMAGE = "/root/reference/data/images/albert.jpg"
 
 # env overrides exist for CI smoke runs on CPU (tests/test_bench_smoke.py);
 # the driver's TPU invocation uses the defaults
-BATCH_SIZE = 1 << int(os.environ.get("TCNN_BENCH_LOG2_BATCH", "18"))
+LOG2_BATCH = int(os.environ.get("TCNN_BENCH_LOG2_BATCH", "18"))
+BATCH_SIZE = 1 << LOG2_BATCH
 WARMUP_STEPS = int(os.environ.get("TCNN_BENCH_WARMUP", "100"))
 TIMED_STEPS = int(os.environ.get("TCNN_BENCH_STEPS", "500"))
 
@@ -101,7 +102,7 @@ def main():
     # per-dispatch host/tunnel overhead (~4 ms measured) doesn't taint the
     # throughput measurement. NOTE: quad must be a jit ARGUMENT (a closed-
     # over 48 MB constant overflows the axon compile request).
-    SCAN_STEPS = 10
+    SCAN_STEPS = min(10, max(1, TIMED_STEPS))
 
     def multi_step(state, key, quad_arg):
         def bench_step(carry, _):
@@ -133,13 +134,14 @@ def main():
     jax.block_until_ready(loss)
     np.asarray(loss)  # real sync (block_until_ready is unreliable on axon)
 
+    timed_iters = max(1, TIMED_STEPS // SCAN_STEPS)
     t0 = time.time()
-    for _ in range(TIMED_STEPS // SCAN_STEPS):
+    for _ in range(timed_iters):
         state, key, loss = step(state, key)
     np.asarray(loss)
     dt = time.time() - t0
 
-    steps_per_sec = (TIMED_STEPS // SCAN_STEPS) * SCAN_STEPS / dt
+    steps_per_sec = timed_iters * SCAN_STEPS / dt
     samples_per_sec = steps_per_sec * BATCH_SIZE
     final_loss = float(loss)
 
@@ -165,7 +167,9 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "image_train_throughput_config_hash_b2^18",
+                # the batch is env-overridable for CI smoke; the label must
+                # say what was actually measured
+                "metric": f"image_train_throughput_config_hash_b2^{LOG2_BATCH}",
                 "value": round(samples_per_sec, 1),
                 "unit": "samples/s",
                 "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 4),

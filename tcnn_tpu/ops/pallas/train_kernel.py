@@ -99,6 +99,10 @@ def supported(model, loss, perturbation_sigma: float = 0.0) -> bool:
     # rebuilds them) - for big tables that dominates and the composed
     # kernels (which recompute) are the right path. MUST stay consistent
     # with the knobs fused_train_grads actually runs with.
+    try:
+        variant = _resolve_variant(plan)
+    except ValueError:
+        return False  # unknown PICK_VARIANT -> composed fallback
     nt = max(plan.batch_tile // FUSED_TILE_DIV, 128)
     c_nt = plan.n_corners * nt
     h_max = max(lvl.h for lvl in plan.levels)
@@ -111,8 +115,10 @@ def supported(model, loss, perturbation_sigma: float = 0.0) -> bool:
         ohlo_bytes = c_nt * 128 * plan.n_levels * 4  # f32
     table_bytes = plan.h_total * 128 * plan.f * 2
     gtable_bytes = plan.h_total * 128 * plan.f * 4
+    # v3b materializes lo_b [C*Nt, 128L] f32 AND the i1 mask_all (Mosaic
+    # lays i1 out in 32-bit lanes): 8 bytes/elem while both are live
     mask_all_bytes = (
-        c_nt * 128 * plan.n_levels if PICK_VARIANT == "v3b" else 0
+        8 * c_nt * 128 * plan.n_levels if variant == "v3b" else 0
     )
     est = oh_bytes + ohlo_bytes + table_bytes + gtable_bytes + mask_all_bytes
     return est < 70 * 1024 * 1024
@@ -175,8 +181,11 @@ def _fm_row_perm(plan, in_pad):
 
 def _masks_for(variant, plan, hi_cl, lo_cl, cw_cl, mask_all, l, h):
     """One level's (hi one-hot bf16, lane mask). base: weight-folded f32
-    mask (gk._level_masks semantics). cwend: unweighted f32 0/1 mask.
-    v3b: the precomputed bool lane-mask slice (from the E-matmul)."""
+    mask (delegates to the composed kernels' gk._level_masks so the two
+    paths cannot diverge). cwend: unweighted f32 0/1 mask. v3b: the
+    precomputed bool lane-mask slice (from the E-matmul)."""
+    if variant == "base":
+        return gk._level_masks(plan, hi_cl, lo_cl, cw_cl, l, h, None)
     rows = hi_cl.shape[0]
     oh = (
         hi_cl[:, l : l + 1]
@@ -187,9 +196,36 @@ def _masks_for(variant, plan, hi_cl, lo_cl, cw_cl, mask_all, l, h):
     lmask = lo_cl[:, l : l + 1] == jax.lax.broadcasted_iota(
         jnp.int32, (rows, LANE), 1
     )
-    if variant == "base" and cw_cl is not None:
-        return oh, jnp.where(lmask, cw_cl[:, l : l + 1], 0.0)
     return oh, lmask.astype(jnp.float32)
+
+
+def _v3b_mask_all(lo_cl, e_ref, iota_ref):
+    """Lane masks for ALL levels from one bf16 expansion matmul + one wide
+    f32 compare (lo <= 127 is bf16-exact): [C*Nt, 128L] i1."""
+    lo_b = jnp.dot(
+        lo_cl.astype(jnp.bfloat16), e_ref[:],
+        preferred_element_type=jnp.float32,
+    )
+    return lo_b == iota_ref[:]
+
+
+def _v3b_pick(picked_acc, g, ohlo, s_ref, l, F):
+    """Accumulate one level's lane-masked pick on the MXU via the
+    selection matmul. Masked rows are single bf16 table entries -> the
+    bf16 cast is exact. Bool selects run per 128-lane feature slice and
+    the f32 results are concatenated: lane-concat of i1 masks is a Mosaic
+    relayout hazard (v5e bf16-lane-op class)."""
+    gm = jnp.concatenate(
+        [
+            jnp.where(ohlo, g[:, f * LANE : (f + 1) * LANE], 0.0)
+            for f in range(F)
+        ],
+        axis=1,
+    ).astype(jnp.bfloat16)
+    return picked_acc + jnp.dot(
+        gm, s_ref[l * LANE * F : (l + 1) * LANE * F, :],
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _level_active(plan, l, max_level):
@@ -273,15 +309,11 @@ def _kernel(
     hi_cl, lo_cl, cw_cl = gk._stacked_hi_lo_w_v2(plan, cells, w, cr,
                                                  ext=ext_s)
 
-    # v3b: lane masks for ALL levels from one bf16 matmul + one wide compare
-    # (lo <= 127 is bf16-exact), instead of L thin-column broadcasts
-    mask_all = None
-    if variant == "v3b":
-        lo_b = jnp.dot(
-            lo_cl.astype(jnp.bfloat16), e_ref[:],
-            preferred_element_type=jnp.float32,
-        )  # [C*Nt, 128L]
-        mask_all = lo_b == iota_ref[:]
+    # v3b: lane masks for ALL levels at once, instead of L thin-column
+    # broadcasts
+    mask_all = (
+        _v3b_mask_all(lo_cl, e_ref, iota_ref) if variant == "v3b" else None
+    )
 
     def _build(l, level):
         """One level's (hi one-hot, lane mask); the gather pick and the
@@ -319,22 +351,7 @@ def _kernel(
         tbl = table_ref[level.row_off : level.row_off + level.h, :]
         g = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)
         if variant == "v3b":
-            # masked rows are single bf16 table entries -> exact cast; the
-            # selection matmul reduces lanes on the MXU, not the VPU.
-            # (bool masks are selected per 128-lane f-slice and the f32
-            # results concatenated - lane-concat of i1 masks is a Mosaic
-            # relayout hazard)
-            gm = jnp.concatenate(
-                [
-                    jnp.where(ohlo, g[:, f * LANE : (f + 1) * LANE], 0.0)
-                    for f in range(F)
-                ],
-                axis=1,
-            ).astype(jnp.bfloat16)
-            picked_acc = picked_acc + jnp.dot(
-                gm, s_ref[l * LANE * F : (l + 1) * LANE * F, :],
-                preferred_element_type=jnp.float32,
-            )
+            picked_acc = _v3b_pick(picked_acc, g, ohlo, s_ref, l, F)
         else:
             for f in range(F):
                 cols[(l, f)] = jnp.sum(
@@ -563,13 +580,9 @@ def _infer_kernel(x_ref, table_ref, *rest, plan, mlp, n_weights, enc_pad,
     hi_cl, lo_cl, cw_cl = gk._stacked_hi_lo_w_v2(plan, cells, w, cr,
                                                  ext=ext_s)
 
-    mask_all = None
-    if variant == "v3b":
-        lo_b = jnp.dot(
-            lo_cl.astype(jnp.bfloat16), e_ref[:],
-            preferred_element_type=jnp.float32,
-        )
-        mask_all = lo_b == iota_ref[:]
+    mask_all = (
+        _v3b_mask_all(lo_cl, e_ref, iota_ref) if variant == "v3b" else None
+    )
 
     def _build(l, level):
         return _masks_for(variant, plan, hi_cl, lo_cl, cw_cl, mask_all,
@@ -588,20 +601,7 @@ def _infer_kernel(x_ref, table_ref, *rest, plan, mlp, n_weights, enc_pad,
         tbl = table_ref[level.row_off : level.row_off + level.h, :]
         g = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)
         if variant == "v3b":
-            # masked rows are single bf16 table entries -> exact cast; the
-            # lane reduce runs on the MXU via the selection matmul (per-f
-            # bool selects; see the train kernel's note on i1 lane-concat)
-            gm = jnp.concatenate(
-                [
-                    jnp.where(ohlo, g[:, f * LANE : (f + 1) * LANE], 0.0)
-                    for f in range(F)
-                ],
-                axis=1,
-            ).astype(jnp.bfloat16)
-            picked_acc = picked_acc + jnp.dot(
-                gm, s_ref[l * LANE * F : (l + 1) * LANE * F, :],
-                preferred_element_type=jnp.float32,
-            )
+            picked_acc = _v3b_pick(picked_acc, g, ohlo, s_ref, l, F)
         else:
             for f in range(F):
                 cols.append(

@@ -83,7 +83,7 @@ class DataParallelTrainer:
                     check_vma=False,
                 )(state, *data)
 
-            return jax.jit(step)
+            return step
 
         def ext_shard_fn(state, inputs, dL_doutput):
             # external-gradient step (trainer.h:127-131): backward from a
@@ -110,13 +110,26 @@ class DataParallelTrainer:
             )(state, inputs, dL_doutput)
 
         # pdf-less variant keeps pdf=None so the trainer can dispatch to the
-        # fused training kernel inside the shard_map
-        self._step = make_step(True)
-        self._step_nopdf = make_step(False)
-        self._step_ext = jax.jit(ext_step)
+        # fused training kernel inside the shard_map. Steps are jitted
+        # LAZILY, keyed on the trainer's trace-baked knobs (max_level
+        # schedule, fused-kernel scheduling globals) - same retrace
+        # semantics as Trainer._get_jitted, so a knob flip between steps
+        # can't silently keep a stale compiled schedule.
+        self._fns = {
+            "step": make_step(True),
+            "step_nopdf": make_step(False),
+            "step_ext": ext_step,
+        }
+        self._jitted = {}
         self._replicated = replicated
         self._batch_sharded = batch_sharded
         self._n_dev = n_dev
+
+    def _jit_for(self, name):
+        key = (name, self.trainer._trace_baked_key())
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(self._fns[name])
+        return self._jitted[key]
 
     def replicate(self, state):
         return jax.device_put(state, self._replicated)
@@ -127,9 +140,9 @@ class DataParallelTrainer:
     def step(self, state, inputs, targets, pdf=None):
         if pdf is None:
             inputs, targets = self.shard_batch(inputs, targets)
-            return self._step_nopdf(state, inputs, targets)
+            return self._jit_for("step_nopdf")(state, inputs, targets)
         inputs, targets, pdf = self.shard_batch(inputs, targets, pdf)
-        return self._step(state, inputs, targets, pdf)
+        return self._jit_for("step")(state, inputs, targets, pdf)
 
     def step_external(self, state, inputs, dL_doutput):
         """Training step from a caller-provided dL_doutput (the reference's
@@ -138,4 +151,4 @@ class DataParallelTrainer:
         carries the caller's own normalization, unlike the loss path's
         per-sample mean. Returns the new state (no loss)."""
         inputs, dL_doutput = self.shard_batch(inputs, dL_doutput)
-        return self._step_ext(state, inputs, dL_doutput)
+        return self._jit_for("step_ext")(state, inputs, dL_doutput)

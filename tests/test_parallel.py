@@ -177,6 +177,31 @@ def test_external_dL_doutput_matches_single_device(devices):
     )
 
 
+def test_dp_step_retraces_on_knob_flip(devices, monkeypatch):
+    """DataParallelTrainer must key its jitted steps on the trainer's
+    trace-baked knobs (fused-kernel scheduling globals, max_level), so a
+    knob flip between steps retraces instead of silently keeping the old
+    compiled schedule (same semantics as Trainer._get_jitted)."""
+    from tcnn_tpu.ops.pallas import train_kernel as tk
+
+    mesh = create_mesh(devices)
+    m = tc.create_from_config(2, 3, CFG)
+    dp = DataParallelTrainer(m.trainer, mesh)
+    state = dp.replicate(m.trainer.state)
+    x = jax.random.uniform(jax.random.PRNGKey(10), (512, 2))
+    t = _img(x)
+
+    state, _ = dp.step(state, x, t)
+    assert len(dp._jitted) == 1
+    monkeypatch.setattr(tk, "FUSED_TILE_DIV", 8)
+    state, _ = dp.step(state, x, t)
+    assert len(dp._jitted) == 2, "knob flip must produce a fresh trace"
+    # flipping back reuses the first trace (no unbounded growth)
+    monkeypatch.setattr(tk, "FUSED_TILE_DIV", 4)
+    state, _ = dp.step(state, x, t)
+    assert len(dp._jitted) == 2
+
+
 def test_shampoo_under_mesh_matches_single_device(devices):
     """VERDICT r2 weak-6: Shampoo (matrix preconditioner + lax.cond root
     refresh, shampoo.h:831-845 schedule) must run under the data-parallel

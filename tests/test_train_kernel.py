@@ -478,6 +478,6 @@ def test_fused_pick_variants_stochastic_and_max_level(monkeypatch, variant):
                     m.network, tr.loss_fn, tr.state["params"], x, t,
                     tr.loss_scale,
                 )
-        ga, gb = np.asarray(outs["base"][1]), np.asarray(outs[v][1])
+        ga, gb = np.asarray(outs["base"][1]), np.asarray(outs[variant][1])
         rel = np.linalg.norm(gb - ga) / max(np.linalg.norm(ga), 1e-12)
         assert rel < 1e-4, (enc_kw, rel)
