@@ -97,6 +97,51 @@ def main():
     h, w = image.shape[:2]
     quad = jax.jit(build_quad_table)(jnp.asarray(image))
 
+    # ---- fused-kernel knob autotune (TPU only) -----------------------------
+    # The fused train kernel has three scheduling knobs (tile divisor,
+    # recompute-masks, pick variant - train_kernel.py:50-70) whose best
+    # setting is chip/config-dependent. Try a short list of candidates on
+    # the real step and keep the fastest; compiles land in the persistent
+    # cache so repeat runs pay nothing. TCNN_BENCH_AUTOTUNE=0 disables.
+    if (
+        jax.default_backend() == "tpu"
+        and os.environ.get("TCNN_BENCH_AUTOTUNE", "1") == "1"
+    ):
+        from tcnn_tpu.ops.pallas import train_kernel as tk
+
+        candidates = [
+            (False, 4, "base"),   # round-2 production schedule
+            (False, 4, "v3b"),    # MXU lane-pick, same tile
+            (False, 4, "cwend"),  # wide weight multiply, same tile
+            (True, 2, "v3b"),     # bigger tile, masks recomputed
+        ]
+        x_tune = jax.random.uniform(jax.random.PRNGKey(3), (BATCH_SIZE, 2))
+        t_tune = sample_image_quad(quad, h, w, x_tune)
+        best = None
+        for knobs in candidates:
+            tk.RECOMPUTE_MASKS, tk.FUSED_TILE_DIV, tk.PICK_VARIANT = knobs
+            try:
+                st = jax.tree.map(jnp.copy, trainer.state)
+                fn = jax.jit(trainer.train_step_fn)
+                st, lv = fn(st, x_tune, t_tune)  # compile + settle
+                np.asarray(lv)
+                t0 = time.time()
+                for _ in range(10):
+                    st, lv = fn(st, x_tune, t_tune)
+                np.asarray(lv)
+                dt = (time.time() - t0) / 10
+                sys.stderr.write(
+                    f"# autotune {knobs}: {dt*1e3:.2f} ms/step\n"
+                )
+                if best is None or dt < best[0]:
+                    best = (dt, knobs)
+            except Exception as e:  # noqa: BLE001 - OOM/compile fail: skip
+                sys.stderr.write(f"# autotune {knobs}: FAILED {type(e).__name__}\n")
+        tk.RECOMPUTE_MASKS, tk.FUSED_TILE_DIV, tk.PICK_VARIANT = (
+            best[1] if best else (False, 4, "base")
+        )
+        sys.stderr.write(f"# autotune picked {best[1] if best else 'default'}\n")
+
     # SCAN_STEPS steps per dispatch: the analog of the reference's CUDA
     # graph (trainer.h:176-183) - one launch covers many steps, so the
     # per-dispatch host/tunnel overhead (~4 ms measured) doesn't taint the
