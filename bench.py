@@ -193,6 +193,36 @@ def main():
     # inference throughput (same protocol: jitted forward, trimmed fp32 out)
     xy_inf = jax.random.uniform(jax.random.PRNGKey(7), (BATCH_SIZE, 2))
     trainer.state = state
+
+    # the forward-only kernel's best pick variant can differ from the train
+    # winner (no scatter, different VMEM envelope): quick re-tune. The
+    # trainer's jit cache keys on the knob, so each variant traces cleanly.
+    if (
+        jax.default_backend() == "tpu"
+        and os.environ.get("TCNN_BENCH_AUTOTUNE", "1") == "1"
+    ):
+        from tcnn_tpu.ops.pallas import train_kernel as tk
+
+        best_inf = None
+        for variant in ("base", "cwend", "v3b"):
+            tk.PICK_VARIANT = variant
+            try:
+                out = trainer.inference(xy_inf)
+                np.asarray(out[:1, :1])
+                t0 = time.time()
+                for _ in range(10):
+                    out = trainer.inference(xy_inf)
+                np.asarray(out[:1, :1])
+                dt = (time.time() - t0) / 10
+                sys.stderr.write(f"# autotune-inf {variant}: {dt*1e3:.2f} ms\n")
+                if best_inf is None or dt < best_inf[0]:
+                    best_inf = (dt, variant)
+            except Exception as e:  # noqa: BLE001
+                sys.stderr.write(
+                    f"# autotune-inf {variant}: FAILED {type(e).__name__}\n"
+                )
+        tk.PICK_VARIANT = best_inf[1] if best_inf else "base"
+
     xy = xy_inf
     out = trainer.inference(xy)
     jax.block_until_ready(out)
