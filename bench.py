@@ -167,7 +167,15 @@ def main():
     step = lambda state, key: _step(state, key, quad)
 
     state = trainer.state
-    key = jax.random.PRNGKey(1337)
+    # batch-coordinate RNG: the reference generates per-step uniforms with
+    # curand (bench_ours.cu:188-332); the TPU analog is the hardware-backed
+    # RBG generator - same protocol, none of threefry's per-step ALU cost.
+    # TCNN_BENCH_RNG=threefry restores the portable generator.
+    rng_impl = os.environ.get(
+        "TCNN_BENCH_RNG",
+        "rbg" if jax.default_backend() == "tpu" else "threefry2x32",
+    )
+    key = jax.random.key(1337, impl=rng_impl)
 
     t_compile = time.time()
     state, key, loss = step(state, key)
