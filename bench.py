@@ -103,9 +103,9 @@ def main():
     # setting is chip/config-dependent. Try a short list of candidates on
     # the real step and keep the fastest; compiles land in the persistent
     # cache so repeat runs pay nothing. TCNN_BENCH_AUTOTUNE=0 disables.
-    if (
-        jax.default_backend() == "tpu"
-        and os.environ.get("TCNN_BENCH_AUTOTUNE", "1") == "1"
+    autotune = os.environ.get("TCNN_BENCH_AUTOTUNE", "1")
+    if autotune != "0" and (
+        jax.default_backend() == "tpu" or autotune == "force"
     ):
         from tcnn_tpu.ops.pallas import train_kernel as tk
 
@@ -205,9 +205,8 @@ def main():
     # the forward-only kernel's best pick variant can differ from the train
     # winner (no scatter, different VMEM envelope): quick re-tune. The
     # trainer's jit cache keys on the knob, so each variant traces cleanly.
-    if (
-        jax.default_backend() == "tpu"
-        and os.environ.get("TCNN_BENCH_AUTOTUNE", "1") == "1"
+    if autotune != "0" and (
+        jax.default_backend() == "tpu" or autotune == "force"
     ):
         from tcnn_tpu.ops.pallas import train_kernel as tk
 
