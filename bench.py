@@ -210,17 +210,20 @@ def main():
     ):
         from tcnn_tpu.ops.pallas import train_kernel as tk
 
+        def time_inf():
+            out = trainer.inference(xy_inf)
+            np.asarray(out[:1, :1])
+            t0 = time.time()
+            for _ in range(10):
+                out = trainer.inference(xy_inf)
+            np.asarray(out[:1, :1])
+            return (time.time() - t0) / 10
+
         best_inf = None
         for variant in ("base", "cwend", "v3b"):
             tk.PICK_VARIANT = variant
             try:
-                out = trainer.inference(xy_inf)
-                np.asarray(out[:1, :1])
-                t0 = time.time()
-                for _ in range(10):
-                    out = trainer.inference(xy_inf)
-                np.asarray(out[:1, :1])
-                dt = (time.time() - t0) / 10
+                dt = time_inf()
                 sys.stderr.write(f"# autotune-inf {variant}: {dt*1e3:.2f} ms\n")
                 if best_inf is None or dt < best_inf[0]:
                     best_inf = (dt, variant)
@@ -229,6 +232,21 @@ def main():
                     f"# autotune-inf {variant}: FAILED {type(e).__name__}\n"
                 )
         tk.PICK_VARIANT = best_inf[1] if best_inf else "base"
+        # tile sweep for the winning variant (forward-only kernel is
+        # VMEM-light; bigger tiles than the train-shared plan tile can win)
+        best_tile = (best_inf[0] if best_inf else 1e9, 0)
+        for tile in (2048, 4096):
+            tk.INFER_TILE = tile
+            try:
+                dt = time_inf()
+                sys.stderr.write(f"# autotune-inf tile={tile}: {dt*1e3:.2f} ms\n")
+                if dt < best_tile[0]:
+                    best_tile = (dt, tile)
+            except Exception as e:  # noqa: BLE001
+                sys.stderr.write(
+                    f"# autotune-inf tile={tile}: FAILED {type(e).__name__}\n"
+                )
+        tk.INFER_TILE = best_tile[1]
 
     xy = xy_inf
     out = trainer.inference(xy)

@@ -68,6 +68,11 @@ RECOMPUTE_MASKS = False
 #:           no thin-column reduces or lane concats at all.
 #: All three are mathematically identical (same products, same sums).
 PICK_VARIANT = "base"
+#: batch tile for the forward-only fused kernel (fused_forward). 0 = use
+#: plan.batch_tile. The inference kernel has no scatter/cached-mask VMEM,
+#: so tiles larger than the train-shared plan tile can win - swept by
+#: bench.py's autotune alongside the other knobs.
+INFER_TILE = 0
 
 
 def supported(model, loss, perturbation_sigma: float = 0.0) -> bool:
@@ -659,7 +664,7 @@ def fused_forward(model, params, x):
         wts[0] = wts[0][perm, :]
 
     b = x.shape[0]
-    nt = plan.batch_tile
+    nt = INFER_TILE or plan.batch_tile
     padded = -(-b // nt) * nt
     if padded != b:
         x = jnp.pad(x, ((0, padded - b), (0, 0)))

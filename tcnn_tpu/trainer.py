@@ -199,6 +199,7 @@ class Trainer:
         return (
             ml_key, self.perturbation_sigma,
             _tk.RECOMPUTE_MASKS, _tk.FUSED_TILE_DIV, _tk.PICK_VARIANT,
+            _tk.INFER_TILE,
         )
 
     def _get_jitted(self, name, fn, **jit_kwargs):

@@ -146,6 +146,27 @@ def test_fused_forward_matches_composed():
     np.testing.assert_allclose(got, ref, atol=3e-2)
 
 
+def test_fused_forward_infer_tile_override(monkeypatch):
+    """INFER_TILE retiles the forward-only kernel without changing values
+    (row padding/trim must stay exact at a non-multiple batch)."""
+    from tcnn_tpu.ops.pallas import train_kernel as tk
+    from tcnn_tpu.ops.pallas.train_kernel import fused_forward
+
+    m = _model()
+    tr = m.trainer
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(size=(700, 2)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        base = np.asarray(
+            fused_forward(m.network, tr.state["params"], x), np.float32
+        )
+        monkeypatch.setattr(tk, "INFER_TILE", 512)
+        got = np.asarray(
+            fused_forward(m.network, tr.state["params"], x), np.float32
+        )
+    np.testing.assert_array_equal(got, base)
+
+
 def test_data_parallel_uses_fused_path_shape():
     """DP without pdf routes through the pdf-less step (which permits the
     fused kernel on TPU); on CPU it still must produce correct results."""
