@@ -104,6 +104,19 @@ def main():
     # the real step and keep the fastest; compiles land in the persistent
     # cache so repeat runs pay nothing. TCNN_BENCH_AUTOTUNE=0 disables.
     autotune = os.environ.get("TCNN_BENCH_AUTOTUNE", "1")
+    # wall-clock budget for ALL autotune candidates combined (cold compiles
+    # are 35-100 s each on TPU); once spent, remaining candidates are
+    # skipped and the best-so-far wins. Warm persistent-cache runs never
+    # come close to the budget.
+    tune_budget = float(os.environ.get("TCNN_BENCH_AUTOTUNE_BUDGET", "1200"))
+    tune_spent = [0.0]
+
+    def _tune_skip(label):
+        if tune_spent[0] > tune_budget:
+            sys.stderr.write(f"# autotune budget spent; skipping {label}\n")
+            return True
+        return False
+
     if autotune != "0" and (
         jax.default_backend() == "tpu" or autotune == "force"
     ):
@@ -119,7 +132,10 @@ def main():
         t_tune = sample_image_quad(quad, h, w, x_tune)
         best = None
         for knobs in candidates:
+            if _tune_skip(f"train {knobs}"):
+                continue
             tk.RECOMPUTE_MASKS, tk.FUSED_TILE_DIV, tk.PICK_VARIANT = knobs
+            t_cand = time.time()
             try:
                 st = jax.tree.map(jnp.copy, trainer.state)
                 fn = jax.jit(trainer.train_step_fn)
@@ -137,6 +153,7 @@ def main():
                     best = (dt, knobs)
             except Exception as e:  # noqa: BLE001 - OOM/compile fail: skip
                 sys.stderr.write(f"# autotune {knobs}: FAILED {type(e).__name__}\n")
+            tune_spent[0] += time.time() - t_cand
         tk.RECOMPUTE_MASKS, tk.FUSED_TILE_DIV, tk.PICK_VARIANT = (
             best[1] if best else (False, 4, "base")
         )
@@ -221,7 +238,10 @@ def main():
 
         best_inf = None
         for variant in ("base", "cwend", "v3b"):
+            if _tune_skip(f"inf {variant}"):
+                continue
             tk.PICK_VARIANT = variant
+            t_cand = time.time()
             try:
                 dt = time_inf()
                 sys.stderr.write(f"# autotune-inf {variant}: {dt*1e3:.2f} ms\n")
@@ -231,12 +251,16 @@ def main():
                 sys.stderr.write(
                     f"# autotune-inf {variant}: FAILED {type(e).__name__}\n"
                 )
+            tune_spent[0] += time.time() - t_cand
         tk.PICK_VARIANT = best_inf[1] if best_inf else "base"
         # tile sweep for the winning variant (forward-only kernel is
         # VMEM-light; bigger tiles than the train-shared plan tile can win)
         best_tile = (best_inf[0] if best_inf else 1e9, 0)
         for tile in (2048, 4096):
+            if _tune_skip(f"inf tile={tile}"):
+                continue
             tk.INFER_TILE = tile
+            t_cand = time.time()
             try:
                 dt = time_inf()
                 sys.stderr.write(f"# autotune-inf tile={tile}: {dt*1e3:.2f} ms\n")
@@ -246,6 +270,7 @@ def main():
                 sys.stderr.write(
                     f"# autotune-inf tile={tile}: FAILED {type(e).__name__}\n"
                 )
+            tune_spent[0] += time.time() - t_cand
         tk.INFER_TILE = best_tile[1]
 
     xy = xy_inf
