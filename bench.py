@@ -83,6 +83,19 @@ WARMUP_STEPS = int(os.environ.get("TCNN_BENCH_WARMUP", "100"))
 TIMED_STEPS = int(os.environ.get("TCNN_BENCH_STEPS", "500"))
 
 
+def _schedule_context():
+    """The fused-kernel scheduling knobs in effect at report time (the
+    autotune winners on TPU, module defaults otherwise)."""
+    from tcnn_tpu.ops.pallas import train_kernel as tk
+
+    return {
+        "pick_variant": tk.PICK_VARIANT,
+        "fused_tile_div": tk.FUSED_TILE_DIV,
+        "recompute_masks": tk.RECOMPUTE_MASKS,
+        "infer_tile": tk.INFER_TILE,
+    }
+
+
 def main():
     if os.path.exists(REFERENCE_IMAGE):
         image = load_image(REFERENCE_IMAGE)
@@ -301,6 +314,8 @@ def main():
                 "context": {
                     "inference_samples_per_sec": round(inf_samples_per_sec, 1),
                     "final_loss": final_loss,
+                    # what the on-chip autotune picked (receipts for PERF.md)
+                    "schedule": _schedule_context(),
                 },
             }
         )

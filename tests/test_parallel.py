@@ -334,3 +334,112 @@ def test_pdf_normalization_matches_single_device(devices):
         np.testing.assert_allclose(
             float(loss_dp), float(loss_ref), rtol=1e-5, err_msg=otype
         )
+
+
+def test_ema_adam_under_mesh_matches_single_device(devices):
+    """VERDICT r2 item 4: a WRAPPED optimizer (EMA over Adam, ema.h:44-77
+    custom_weights) under the data-parallel mesh. The wrapper's smoothed
+    weights feed inference (trainer.h custom-weights plumbing), so both the
+    training trajectory AND the EMA weight vector must match single-device
+    execution."""
+    cfg = dict(
+        CFG,
+        optimizer={
+            "otype": "EMA",
+            "decay": 0.95,
+            "nested": {"otype": "Adam", "learning_rate": 1e-2},
+        },
+    )
+    model_a = tc.create_from_config(2, 3, cfg)
+    model_b = tc.create_from_config(2, 3, cfg)
+
+    mesh = create_mesh(devices)
+    dp = DataParallelTrainer(model_a.trainer, mesh)
+    state_dp = dp.replicate(model_a.trainer.state)
+
+    rng = np.random.default_rng(11)
+    for i in range(8):
+        x = jnp.asarray(rng.uniform(size=(1024, 2)), jnp.float32)
+        t = _img(x)
+        state_dp, loss_dp = dp.step(state_dp, x, t)
+        loss_1 = model_b.trainer.training_step(x, t)
+        np.testing.assert_allclose(
+            float(loss_dp), float(loss_1), rtol=2e-3, err_msg=f"step {i}"
+        )
+    # the EMA custom weights (what inference uses) match across executions
+    ema_dp = np.asarray(
+        model_a.trainer.optimizer.custom_weights(
+            state_dp["opt"], state_dp["params"]
+        )
+    )
+    ema_1 = np.asarray(model_b.trainer.inference_params)
+    scale = np.abs(ema_1).max() + 1e-12
+    # bf16 forward/backward: the two executions reduce gradients in a
+    # different order, so the step-0 ~3e-4 difference amplifies chaotically
+    # through 8 Adam steps at lr 1e-2 (raw params drift to ~4e-3 normalized,
+    # measured). The EMA must stay within that trajectory-divergence class
+    # AND be no worse than the raw params it averages.
+    p_dp = np.asarray(state_dp["params"])
+    p_1 = np.asarray(model_b.trainer.state["params"])
+    param_div = np.abs(p_dp - p_1).max() / scale
+    ema_div = np.abs(ema_dp - ema_1).max() / scale
+    assert ema_div < 5e-3, f"EMA weights diverged: {ema_div}"
+    assert ema_div <= param_div * 1.5 + 1e-6, (ema_div, param_div)
+
+
+def test_binned_encoding_under_mesh(devices):
+    """VERDICT r2 item 4: the binned large-table encoding path (the
+    reference-default T=2^19 machinery, binned_kernel.py) under shard_map.
+    Each shard bins/gathers/scatters its local batch; psum of the table
+    gradients must equal the global-batch gradients (deterministic by
+    construction - the TPU answer to grid.h:214-320's atomicAdd)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import PartitionSpec as P
+
+    from tcnn_tpu.ops.encodings.grid import GridEncoding
+    from tcnn_tpu.ops.pallas.binned_kernel import grid_encode_split
+
+    enc = GridEncoding(
+        2,
+        n_levels=3,
+        n_features_per_level=2,
+        log2_hashmap_size=14,
+        base_resolution=64,
+        per_level_scale=2.0,
+    )
+    split = enc._binned_split()
+    assert split is not None and split.binned is not None
+    params = jnp.asarray(enc.init_params(jax.random.PRNGKey(0)))
+    x = jax.random.uniform(jax.random.PRNGKey(12), (512, 2))
+
+    def fwd_loss(p, xx):
+        y = grid_encode_split(split, p, xx)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    # 2-device submesh: the binned pipeline is FIVE pallas_calls per
+    # grad (vs the megakernel's one), and interpret-mode callback cost
+    # grows super-linearly in shard count (8 devices: >10 min; 2: ~17 s).
+    # Two shards already prove the semantics: per-shard binning + psum
+    # of table grads == global-batch grads.
+    mesh = create_mesh(devices[:2])
+    with pltpu.force_tpu_interpret_mode():
+        loss_g, g_g = jax.jit(jax.value_and_grad(fwd_loss))(params, x)
+
+        def shard_fn(p, xx):
+            lv, g = jax.value_and_grad(fwd_loss)(p, xx)
+            return jax.lax.psum(lv, "data"), jax.lax.psum(g, "data")
+
+        loss_dp, g_dp = jax.jit(
+            jax.shard_map(
+                shard_fn, mesh=mesh,
+                in_specs=(P(), P("data")),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+        )(params, x)
+
+    np.testing.assert_allclose(float(loss_dp), float(loss_g), rtol=1e-4)
+    ref = np.asarray(g_g)
+    scale = np.abs(ref).max() + 1e-12
+    np.testing.assert_allclose(np.asarray(g_dp) / scale, ref / scale,
+                               atol=2e-5)
