@@ -121,7 +121,7 @@ def main():
     # are 35-100 s each on TPU); once spent, remaining candidates are
     # skipped and the best-so-far wins. Warm persistent-cache runs never
     # come close to the budget.
-    tune_budget = float(os.environ.get("TCNN_BENCH_AUTOTUNE_BUDGET", "1200"))
+    tune_budget = float(os.environ.get("TCNN_BENCH_AUTOTUNE_BUDGET", "1500"))
     tune_spent = [0.0]
 
     def _tune_skip(label):
@@ -138,6 +138,7 @@ def main():
         candidates = [
             (False, 4, "base"),   # round-2 production schedule
             (False, 4, "v3b"),    # MXU lane-pick, same tile
+            (False, 2, "v3b"),    # v3b's i1 masks are small: tile 512 fits
             (False, 4, "cwend"),  # wide weight multiply, same tile
             (True, 2, "v3b"),     # bigger tile, masks recomputed
         ]
