@@ -172,6 +172,7 @@ def main():
             best[1] if best else (False, 4, "base")
         )
         sys.stderr.write(f"# autotune picked {best[1] if best else 'default'}\n")
+    train_schedule = _schedule_context()  # before the inference re-tune
 
     # SCAN_STEPS steps per dispatch: the analog of the reference's CUDA
     # graph (trainer.h:176-183) - one launch covers many steps, so the
@@ -315,8 +316,11 @@ def main():
                 "context": {
                     "inference_samples_per_sec": round(inf_samples_per_sec, 1),
                     "final_loss": final_loss,
-                    # what the on-chip autotune picked (receipts for PERF.md)
-                    "schedule": _schedule_context(),
+                    # what the on-chip autotune picked (receipts for PERF.md);
+                    # train captured before the inference re-tune overwrites
+                    # the shared knobs
+                    "train_schedule": train_schedule,
+                    "inference_schedule": _schedule_context(),
                 },
             }
         )
