@@ -10,12 +10,31 @@ package stays fully functional either way.
 """
 
 import os
+import shutil
 import subprocess
 
 from setuptools import setup
 from setuptools.command.build_py import build_py
+from setuptools.dist import Distribution
 
 _ROOT = os.path.dirname(os.path.abspath(__file__))
+
+
+def _have_cxx() -> bool:
+    return shutil.which(os.environ.get("CXX", "g++")) is not None
+
+
+class BinaryDistribution(Distribution):
+    """Tag the wheel with the build platform when the native lib will be
+    compiled in: a py3-none-any wheel embedding a linux-x86_64 .so would
+    be installable (and silently broken down to the numpy fallbacks) on
+    every other platform. Pure-Python builds (no C++ toolchain) stay
+    none-any - there the fallbacks are the intended behavior."""
+
+    def has_ext_modules(self):
+        return _have_cxx() and os.path.exists(
+            os.path.join(_ROOT, "native", "tcnn_host.cpp")
+        )
 
 
 class build_py_with_native(build_py):
@@ -36,4 +55,7 @@ class build_py_with_native(build_py):
             print(f"native host runtime skipped ({e}); numpy fallbacks apply")
 
 
-setup(cmdclass={"build_py": build_py_with_native})
+setup(
+    cmdclass={"build_py": build_py_with_native},
+    distclass=BinaryDistribution,
+)

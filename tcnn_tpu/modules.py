@@ -29,6 +29,11 @@ from .config import create_network_with_input_encoding
 from .registry import create_encoding
 
 
+@jax.jit
+def _vjp_input_only(vjp, dL_dy):
+    return vjp(dL_dy)[1]
+
+
 class Module:
     """Base: stateful parameter holder over a functional model."""
 
@@ -101,10 +106,16 @@ class Module:
         Ignore returns None for the parameter gradients."""
         from .common import GradientMode
 
-        dparams, dx = vjp(dL_dy)
         mode = GradientMode.Overwrite if gradient_mode is None else gradient_mode
         if mode == GradientMode.Ignore:
-            return None, dx
+            # the reference's Ignore skips the parameter-gradient kernels
+            # entirely (object.h:115-119); here the vjp runs under jit with
+            # only dL_dinput extracted, so XLA dead-code-eliminates the
+            # table scatter and wgrad matmuls instead of computing and
+            # discarding them (jax.vjp's closure is a tree_util.Partial,
+            # so it can be a jit argument and the trace is cached)
+            return None, _vjp_input_only(vjp, dL_dy)
+        dparams, dx = vjp(dL_dy)
         if mode == GradientMode.Accumulate:
             if param_grads is None:
                 raise ValueError(

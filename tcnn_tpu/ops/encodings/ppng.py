@@ -409,9 +409,11 @@ class PPNG3Encoding(PPNGBase):
         y = binned_ext_lookup(bp, self._premix_table(params), idx, cw)
         return y.astype(compute_dtype)
 
-    def count_binned_drops(self, params, x) -> int:
+    def count_binned_drops(self, x) -> int:
         """Exact dropped-pick count for one batch on the fast path (the
-        GridEncoding.count_binned_drops analog); 0 = exact to bf16."""
+        GridEncoding.count_binned_drops analog - same signature; drops
+        depend only on the pick indices, not the table); 0 = exact to
+        bf16."""
         bp = self._fast_plan()
         if bp is None:
             return 0

@@ -129,6 +129,53 @@ def supported(model, loss, perturbation_sigma: float = 0.0) -> bool:
     return est < 70 * 1024 * 1024
 
 
+def supported_infer(model) -> bool:
+    """Whether the forward-only fused kernel covers this model AT THE
+    CURRENT KNOBS. The infer kernel's footprint differs from the train
+    kernel's (no gtable, masks transient, tile = INFER_TILE or the full
+    plan tile), and INFER_TILE is a process-global autotuned for one
+    specific model - a second model in the same process must re-pass this
+    gate at that tile or fall back to the composed path."""
+    from ...models.mlp import FullyFusedMLP
+    from ...models.network_with_input_encoding import NetworkWithInputEncoding
+    from ...ops.encodings.grid import GridEncoding
+
+    if not isinstance(model, NetworkWithInputEncoding):
+        return False
+    if not isinstance(model.encoding, GridEncoding):
+        return False
+    mlp = model.network
+    if not isinstance(mlp, FullyFusedMLP):
+        return False
+    if Activation.Sine in (mlp.activation, mlp.output_activation):
+        return False
+    plan = model.encoding._kernel_plan()
+    if plan is None:
+        return False
+    try:
+        variant = _resolve_variant(plan)
+    except ValueError:
+        return False
+    nt = INFER_TILE or plan.batch_tile
+    c_nt = plan.n_corners * nt
+    h_max = max(lvl.h for lvl in plan.levels)
+    # masks are transient in the forward (pipelined builds, ~2 levels live)
+    oh_bytes = 2 * c_nt * h_max * 2
+    ohlo_bytes = 2 * c_nt * 128 * 4
+    # stacked index math: hi/lo i32 [C*Nt, L] + cw f32 + cells/w [Nt, D*L]
+    idx_bytes = c_nt * plan.n_levels * 4 * 3
+    table_bytes = plan.h_total * 128 * plan.f * 2
+    # v3b: lo_b f32 + i1 mask_all (32-bit lanes) live together, plus the
+    # picked accumulator
+    mask_all_bytes = (
+        8 * c_nt * 128 * plan.n_levels if variant == "v3b" else 0
+    )
+    picked_bytes = c_nt * plan.f * plan.n_levels * 4
+    est = (oh_bytes + ohlo_bytes + idx_bytes + table_bytes
+           + mask_all_bytes + picked_bytes)
+    return est < 70 * 1024 * 1024
+
+
 def _resolve_variant(plan) -> str:
     """The pick variant actually used for this plan: Nearest has no
     interpolation weights, so the weight-at-the-end variants reduce to
@@ -923,9 +970,22 @@ def supported_ig(model, compute_dtype=None) -> bool:
     plan = enc._kernel_plan()
     if plan is None:
         return False
-    from ...ops.losses import L2Loss
-
-    return supported(model, L2Loss())
+    # VMEM estimate for the ig kernel's OWN schedule - it ignores the
+    # train-kernel knobs: fixed tile nt = batch_tile//4, always caches
+    # every level's one-hot masks (shared between gather, scatter and the
+    # dy_dx contraction), base pick variant (no mask_all / lo_b). Gating
+    # on supported()'s knob-dependent estimate would both admit configs
+    # the ig kernel blows past (RECOMPUTE_MASKS charges only 2 transient
+    # levels) and reject ones it runs fine (v3b charges mask_all bytes
+    # the ig kernel never materializes).
+    nt = max(plan.batch_tile // 4, 128)
+    c_nt = plan.n_corners * nt
+    oh_bytes = c_nt * plan.h_total * 2  # bf16, all levels cached
+    ohlo_bytes = c_nt * 128 * plan.n_levels * 4  # f32
+    table_bytes = plan.h_total * 128 * plan.f * 2
+    gtable_bytes = plan.h_total * 128 * plan.f * 4
+    est = oh_bytes + ohlo_bytes + table_bytes + gtable_bytes
+    return est < 70 * 1024 * 1024
 
 
 def _ig_kernel(x_ref, gy_ref, table_ref, *rest, plan, mlp, n_weights,

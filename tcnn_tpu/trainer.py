@@ -94,6 +94,19 @@ class Trainer:
         except Exception:
             return False
 
+    def _fused_infer_ok(self) -> bool:
+        """The forward-only kernel's own VMEM gate: its tile is the
+        process-global INFER_TILE (autotuned per-model), so a model that
+        passes the train gate can still overflow at the inference tile -
+        e.g. INFER_TILE=4096 tuned for one model, then a wider model's
+        v3b mask_all at that tile is hundreds of MB."""
+        try:
+            from .ops.pallas.train_kernel import supported_infer
+
+            return supported_infer(self.model)
+        except Exception:
+            return False
+
     def loss_and_grad_fn(self, params, inputs, targets, pdf, rng):
         """Returns (loss_value, grads); grads carry loss_scale (reference
         convention; the optimizer divides it back out)."""
@@ -323,7 +336,11 @@ class Trainer:
         fused-kernel shaped."""
         params = self.inference_params
         enc = getattr(self.model, "encoding", None)
-        if self._fused_kernel_ok() and getattr(enc, "max_level", None) is None:
+        if (
+            self._fused_kernel_ok()
+            and self._fused_infer_ok()
+            and getattr(enc, "max_level", None) is None
+        ):
             from .ops.pallas.train_kernel import fused_forward
 
             fn = self._get_jitted(

@@ -63,7 +63,7 @@ def test_forward_parity():
 def test_drop_counter_zero_on_uniform_batch():
     enc = _enc()
     with pltpu.force_tpu_interpret_mode():
-        assert enc.count_binned_drops(_params(enc), _x(512)) == 0
+        assert enc.count_binned_drops(_x(512)) == 0
 
 
 def test_param_and_input_grads_parity():
