@@ -38,6 +38,7 @@ from .registry import (  # noqa: F401
     register_optimizer,
 )
 from .trainer import Trainer  # noqa: F401
+from .utils.compile_cache import enable_compilation_cache  # noqa: F401
 
 batch_size_granularity = BATCH_SIZE_GRANULARITY  # cpp_api parity name
 
