@@ -75,27 +75,50 @@ PICK_VARIANT = "base"
 INFER_TILE = 0
 
 
+def _fused_plan_for(model):
+    """Shared shape gate for every fused kernel: grid+FFMLP model, no Sine,
+    and a dense kernel plan. Returns the plan, or None when any fused
+    kernel must fall back to the composed path."""
+    from ...models.mlp import FullyFusedMLP
+    from ...models.network_with_input_encoding import NetworkWithInputEncoding
+    from ...ops.encodings.grid import GridEncoding
+
+    if not isinstance(model, NetworkWithInputEncoding):
+        return None
+    if not isinstance(model.encoding, GridEncoding):
+        return None
+    mlp = model.network
+    if not isinstance(mlp, FullyFusedMLP):
+        return None
+    if Activation.Sine in (mlp.activation, mlp.output_activation):
+        return None
+    return model.encoding._kernel_plan()
+
+
+def _table_bytes(plan):
+    return plan.h_total * 128 * plan.f * 2  # bf16 packed table
+
+
+def _cached_mask_bytes(plan, c_nt):
+    """All levels' (oh bf16, ohlo f32) masks held live across phases."""
+    return c_nt * plan.h_total * 2 + c_nt * 128 * plan.n_levels * 4
+
+
+def _transient_mask_bytes(plan, c_nt):
+    """Pipelined builds: ~2 levels of (oh, ohlo) live at once."""
+    h_max = max(lvl.h for lvl in plan.levels)
+    return 2 * c_nt * h_max * 2 + 2 * c_nt * 128 * 4
+
+
 def supported(model, loss, perturbation_sigma: float = 0.0) -> bool:
     """Whether the fused train kernel covers this (model, loss) config.
     perturbation_sigma and external dL_doutput are handled in-kernel (the
     noise / cotangent arrive as inputs), so they no longer gate."""
-    from ...models.mlp import FullyFusedMLP
-    from ...models.network_with_input_encoding import NetworkWithInputEncoding
-    from ...ops.encodings.grid import GridEncoding
     from ...ops.losses import Loss
 
-    if not isinstance(model, NetworkWithInputEncoding):
-        return False
-    if not isinstance(model.encoding, GridEncoding):
-        return False
-    mlp = model.network
-    if not isinstance(mlp, FullyFusedMLP):
-        return False
-    if Activation.Sine in (mlp.activation, mlp.output_activation):
-        return False
     if not isinstance(loss, Loss):
         return False
-    plan = model.encoding._kernel_plan()
+    plan = _fused_plan_for(model)
     if plan is None:
         return False
     # VMEM estimate: the fused kernel caches the per-level one-hot masks
@@ -110,22 +133,18 @@ def supported(model, loss, perturbation_sigma: float = 0.0) -> bool:
         return False  # unknown PICK_VARIANT -> composed fallback
     nt = max(plan.batch_tile // FUSED_TILE_DIV, 128)
     c_nt = plan.n_corners * nt
-    h_max = max(lvl.h for lvl in plan.levels)
-    if plan.stochastic or RECOMPUTE_MASKS:
-        # transient masks only: ~2 levels live at once (pipelined builds)
-        oh_bytes = 2 * c_nt * h_max * 2
-        ohlo_bytes = 2 * c_nt * 128 * 4
-    else:
-        oh_bytes = c_nt * plan.h_total * 2  # bf16
-        ohlo_bytes = c_nt * 128 * plan.n_levels * 4  # f32
-    table_bytes = plan.h_total * 128 * plan.f * 2
+    mask_bytes = (
+        _transient_mask_bytes(plan, c_nt)
+        if plan.stochastic or RECOMPUTE_MASKS
+        else _cached_mask_bytes(plan, c_nt)
+    )
     gtable_bytes = plan.h_total * 128 * plan.f * 4
     # v3b materializes lo_b [C*Nt, 128L] f32 AND the i1 mask_all (Mosaic
     # lays i1 out in 32-bit lanes): 8 bytes/elem while both are live
     mask_all_bytes = (
         8 * c_nt * 128 * plan.n_levels if variant == "v3b" else 0
     )
-    est = oh_bytes + ohlo_bytes + table_bytes + gtable_bytes + mask_all_bytes
+    est = mask_bytes + _table_bytes(plan) + gtable_bytes + mask_all_bytes
     return est < 70 * 1024 * 1024
 
 
@@ -136,20 +155,7 @@ def supported_infer(model) -> bool:
     plan tile), and INFER_TILE is a process-global autotuned for one
     specific model - a second model in the same process must re-pass this
     gate at that tile or fall back to the composed path."""
-    from ...models.mlp import FullyFusedMLP
-    from ...models.network_with_input_encoding import NetworkWithInputEncoding
-    from ...ops.encodings.grid import GridEncoding
-
-    if not isinstance(model, NetworkWithInputEncoding):
-        return False
-    if not isinstance(model.encoding, GridEncoding):
-        return False
-    mlp = model.network
-    if not isinstance(mlp, FullyFusedMLP):
-        return False
-    if Activation.Sine in (mlp.activation, mlp.output_activation):
-        return False
-    plan = model.encoding._kernel_plan()
+    plan = _fused_plan_for(model)
     if plan is None:
         return False
     try:
@@ -158,21 +164,17 @@ def supported_infer(model) -> bool:
         return False
     nt = INFER_TILE or plan.batch_tile
     c_nt = plan.n_corners * nt
-    h_max = max(lvl.h for lvl in plan.levels)
     # masks are transient in the forward (pipelined builds, ~2 levels live)
-    oh_bytes = 2 * c_nt * h_max * 2
-    ohlo_bytes = 2 * c_nt * 128 * 4
-    # stacked index math: hi/lo i32 [C*Nt, L] + cw f32 + cells/w [Nt, D*L]
+    # stacked index math: hi/lo i32 [C*Nt, L] + cw f32
     idx_bytes = c_nt * plan.n_levels * 4 * 3
-    table_bytes = plan.h_total * 128 * plan.f * 2
     # v3b: lo_b f32 + i1 mask_all (32-bit lanes) live together, plus the
     # picked accumulator
     mask_all_bytes = (
         8 * c_nt * 128 * plan.n_levels if variant == "v3b" else 0
     )
     picked_bytes = c_nt * plan.f * plan.n_levels * 4
-    est = (oh_bytes + ohlo_bytes + idx_bytes + table_bytes
-           + mask_all_bytes + picked_bytes)
+    est = (_transient_mask_bytes(plan, c_nt) + idx_bytes
+           + _table_bytes(plan) + mask_all_bytes + picked_bytes)
     return est < 70 * 1024 * 1024
 
 
@@ -944,31 +946,18 @@ def supported_ig(model, compute_dtype=None) -> bool:
     shape/VMEM envelope as the train kernel, minus the loss, plus the
     composed-ig contract (no stochastic/nearest/max_level)."""
     from ...common import COMPUTE_DTYPE, InterpolationType
-    from ...models.mlp import FullyFusedMLP
-    from ...models.network_with_input_encoding import NetworkWithInputEncoding
-    from ...ops.encodings.grid import GridEncoding
 
     if compute_dtype is not None and compute_dtype != COMPUTE_DTYPE:
         return False
-    if not isinstance(model, NetworkWithInputEncoding):
+    plan = _fused_plan_for(model)
+    if plan is None:
         return False
     enc = model.encoding
-    if not isinstance(enc, GridEncoding):
-        return False
-    if not isinstance(model.network, FullyFusedMLP):
-        return False
-    if Activation.Sine in (
-        model.network.activation, model.network.output_activation
-    ):
-        return False
     if not getattr(enc, "fast_input_grads", False):
         return False
     if enc.stochastic_interpolation or enc.max_level is not None:
         return False
     if enc.interpolation == InterpolationType.Nearest:
-        return False
-    plan = enc._kernel_plan()
-    if plan is None:
         return False
     # VMEM estimate for the ig kernel's OWN schedule - it ignores the
     # train-kernel knobs: fixed tile nt = batch_tile//4, always caches
@@ -980,11 +969,8 @@ def supported_ig(model, compute_dtype=None) -> bool:
     # the ig kernel never materializes).
     nt = max(plan.batch_tile // 4, 128)
     c_nt = plan.n_corners * nt
-    oh_bytes = c_nt * plan.h_total * 2  # bf16, all levels cached
-    ohlo_bytes = c_nt * 128 * plan.n_levels * 4  # f32
-    table_bytes = plan.h_total * 128 * plan.f * 2
     gtable_bytes = plan.h_total * 128 * plan.f * 4
-    est = oh_bytes + ohlo_bytes + table_bytes + gtable_bytes
+    est = _cached_mask_bytes(plan, c_nt) + _table_bytes(plan) + gtable_bytes
     return est < 70 * 1024 * 1024
 
 

@@ -75,35 +75,40 @@ class Trainer:
     #: combination supports it); True/False force.
     use_fused_train_kernel: bool | None = None
 
-    def _fused_kernel_ok(self, pdf=None) -> bool:
+    def _fused_env_ok(self) -> bool:
+        """Trainer-level preconditions shared by every fused kernel:
+        opt-out flag, bf16 compute, TPU backend (unless forced on)."""
         if self.use_fused_train_kernel is False:
             return False
         if self.compute_dtype != jnp.bfloat16:
-            return False  # the fused kernel computes in bf16
-        try:
-            import jax as _jax
+            return False  # the fused kernels compute in bf16
+        import jax as _jax
 
-            if (
-                self.use_fused_train_kernel is None
-                and _jax.default_backend() != "tpu"
-            ):
-                return False
+        return not (
+            self.use_fused_train_kernel is None
+            and _jax.default_backend() != "tpu"
+        )
+
+    def _fused_kernel_ok(self, pdf=None) -> bool:
+        try:
             from .ops.pallas.train_kernel import supported
 
-            return supported(self.model, self.loss_fn, self.perturbation_sigma)
+            return self._fused_env_ok() and supported(
+                self.model, self.loss_fn, self.perturbation_sigma
+            )
         except Exception:
             return False
 
     def _fused_infer_ok(self) -> bool:
-        """The forward-only kernel's own VMEM gate: its tile is the
-        process-global INFER_TILE (autotuned per-model), so a model that
-        passes the train gate can still overflow at the inference tile -
-        e.g. INFER_TILE=4096 tuned for one model, then a wider model's
-        v3b mask_all at that tile is hundreds of MB."""
+        """The forward-only kernel's own gate (train_kernel.supported_infer):
+        its VMEM envelope differs from the train kernel's (no gtable, masks
+        transient) and its tile is the process-global INFER_TILE (autotuned
+        per-model), so a model that passes the train gate can overflow at
+        the inference tile and vice versa."""
         try:
             from .ops.pallas.train_kernel import supported_infer
 
-            return supported_infer(self.model)
+            return self._fused_env_ok() and supported_infer(self.model)
         except Exception:
             return False
 
@@ -336,11 +341,7 @@ class Trainer:
         fused-kernel shaped."""
         params = self.inference_params
         enc = getattr(self.model, "encoding", None)
-        if (
-            self._fused_kernel_ok()
-            and self._fused_infer_ok()
-            and getattr(enc, "max_level", None) is None
-        ):
+        if self._fused_infer_ok() and getattr(enc, "max_level", None) is None:
             from .ops.pallas.train_kernel import fused_forward
 
             fn = self._get_jitted(
