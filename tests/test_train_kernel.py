@@ -502,3 +502,37 @@ def test_fused_pick_variants_stochastic_and_max_level(monkeypatch, variant):
         ga, gb = np.asarray(outs["base"][1]), np.asarray(outs[variant][1])
         rel = np.linalg.norm(gb - ga) / max(np.linalg.norm(ga), 1e-12)
         assert rel < 1e-4, (enc_kw, rel)
+
+
+def test_infer_gate_rejects_oversized_tile(monkeypatch):
+    """supported_infer sizes the forward kernel at the process-global
+    INFER_TILE: a tile autotuned for one model must not drag a different
+    model onto a VMEM-overflowing fused forward - Trainer.inference falls
+    back to the composed path instead (self-review r3 finding)."""
+    from tcnn_tpu.ops.pallas import train_kernel as tk
+
+    m = _model()
+    assert tk.supported_infer(m.network)  # default tile fits
+    monkeypatch.setattr(tk, "INFER_TILE", 1 << 20)
+    assert not tk.supported_infer(m.network)
+    # the trainer-level gate agrees (so inference() takes the composed jit)
+    monkeypatch.setattr(m.trainer, "use_fused_train_kernel", True)
+    assert not m.trainer._fused_infer_ok()
+
+
+def test_ig_gate_ignores_train_knobs(monkeypatch):
+    """supported_ig models the ig kernel's OWN fixed schedule
+    (tile batch_tile//4, all masks cached, base pick): flipping the train
+    knobs must not change its verdict (self-review r3 finding - the gate
+    previously delegated to supported(), whose estimate moves with
+    RECOMPUTE_MASKS/FUSED_TILE_DIV/PICK_VARIANT)."""
+    from tcnn_tpu.ops.pallas import train_kernel as tk
+
+    m = _model()
+    m.network.encoding.fast_input_grads = True
+    base = tk.supported_ig(m.network)
+    for knobs in ((True, 2, "v3b"), (False, 8, "cwend")):
+        monkeypatch.setattr(tk, "RECOMPUTE_MASKS", knobs[0])
+        monkeypatch.setattr(tk, "FUSED_TILE_DIV", knobs[1])
+        monkeypatch.setattr(tk, "PICK_VARIANT", knobs[2])
+        assert tk.supported_ig(m.network) == base, knobs
