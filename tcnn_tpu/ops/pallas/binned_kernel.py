@@ -53,6 +53,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -65,6 +66,19 @@ LANE = 128
 #: smallest per-level table size the binned path accepts (below this the
 #: dense VMEM-resident one-hot kernels win)
 MIN_BINNED_ROWS = 1 << 14
+
+#: kernel-A level-loop mode (VERDICT r3 item 3, compile time). The
+#: unrolled per-level body is ~109 jaxpr eqns x NL levels (1288 total at
+#: T=2^19) - the largest Mosaic program in the binned step and the prime
+#: cold-compile suspect. "transpose": lax.fori_loop over levels, per-level
+#: rows read from a [NL, G] VMEM scratch with pl.ds and converted by
+#: [1,G]<->[G,1] transposes (the Mosaic-safest dynamic form; the rank
+#: network already does one such transpose per level). "lane": dynamic
+#: LANE-dim ref slicing (fewer ops, needs Mosaic dynamic lane offsets -
+#: unverified on real v5e). "off": the measured round-2/3 unrolled kernel.
+#: Flip via TCNN_BINNED_A_LOOP; numerics of all three modes are pinned
+#: identical by tests/test_binned_kernel.py.
+A_LOOP = os.environ.get("TCNN_BINNED_A_LOOP", "off")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -454,7 +468,10 @@ def _bin_kernel(x_ref, *rest, bp: BinnedPlan):
         ext_ref = rest[0]
         rest = rest[1:]
     const_refs = rest[: len(gk._CONST_NAMES)]
-    sh_ref, sl_ref, rk_ref, dr_ref = rest[len(gk._CONST_NAMES):]
+    # outputs, then (loop modes only) the two VMEM scratch refs
+    sh_ref, sl_ref, rk_ref, dr_ref = rest[
+        len(gk._CONST_NAMES) : len(gk._CONST_NAMES) + 4
+    ]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -468,17 +485,12 @@ def _bin_kernel(x_ref, *rest, bp: BinnedPlan):
         extw=extw_ref[:] if extw_ref is not None else None,
     )
     idx_all_t = jnp.transpose(idx_all)  # [NL, G] - ONE transpose per tile
-    # superblock key = LOW index bits: CoherentPrime's dim-0 factor is 1
-    # (common_device.h:649), so at coarse levels the hash's TOP bits are
-    # independent of cell_0 and whole tiles would pile into a few
-    # superblocks (measured: cap overflows at T=2^19 level 6). Low bits
-    # mix every dimension; the table is stored permuted to match
-    # (repack_binned).
-    k_all = idx_all & (bp.s - 1)  # [G, NL] superblock keys
-    lo_all = idx_all >> bp.log2_s  # row within superblock, < R
-    hi5_all = lo_all >> 7
-    lo7_all = lo_all & (LANE - 1)
-
+    # superblock key = LOW index bits (derived per level in level_slabs):
+    # CoherentPrime's dim-0 factor is 1 (common_device.h:649), so at
+    # coarse levels the hash's TOP bits are independent of cell_0 and
+    # whole tiles would pile into a few superblocks (measured: cap
+    # overflows at T=2^19 level 6). Low bits mix every dimension; the
+    # table is stored permuted to match (repack_binned).
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
     iota_cap = jax.lax.broadcasted_iota(jnp.int32, (G, cap), 1)
     n_sub = G // _SUB
@@ -489,22 +501,21 @@ def _bin_kernel(x_ref, *rest, bp: BinnedPlan):
         jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0) & (_SUB - 1)
     ).astype(jnp.float32)
 
-    sh_rows, sl_rows, rk_cols = [], [], []
-    n_drop = jnp.zeros((), jnp.float32)
-    for l in range(NL):
-        idx_col = idx_all[:, l : l + 1]
-        k_col = k_all[:, l : l + 1]
+    def level_slabs(idx_col, idx_row_l):
+        """One level's placement: (ph [S, cap] f32, plo, rank [G, 1] f32,
+        n_drop scalar) from the level's pick indices ([G, 1] column and
+        [1, G] row forms of the same values)."""
+        k_col = idx_col & (bp.s - 1)
+        lo_col = idx_col >> bp.log2_s
         onehot_k = (k_col == iota_s).astype(jnp.float32)  # [G, S]
         rank_col, first_col = _rank_level(
-            idx_col, idx_all_t[l : l + 1, :], onehot_k, n_sub, q_row, pos,
-            bp.s - 1,
+            idx_col, idx_row_l, onehot_k, n_sub, q_row, pos, bp.s - 1
         )
-        rk_cols.append(rank_col.astype(jnp.int32))
         # dropped-pick counter: rank >= cap has no slot column, so the
         # pick's contribution is lost in BOTH directions (C reads nothing,
         # P places nothing). Duplicates share their representative's rank,
         # so they are counted as dropped too - the count is exact.
-        n_drop = n_drop + jnp.sum((rank_col >= float(cap)).astype(jnp.float32))
+        nd = jnp.sum((rank_col >= float(cap)).astype(jnp.float32))
 
         # placement: first occurrences write (hi5+1) and lo7 into their
         # (k, rank) slot; rank >= cap (overflow) has no one-hot column and
@@ -512,8 +523,8 @@ def _bin_kernel(x_ref, *rest, bp: BinnedPlan):
         ohrank = (rank_col.astype(jnp.int32) == iota_cap).astype(jnp.float32)
         ohrank_first = (ohrank * first_col).astype(jnp.bfloat16)
         ok_bf = onehot_k.astype(jnp.bfloat16)
-        hvals = (hi5_all[:, l : l + 1] + 1).astype(jnp.bfloat16)
-        lvals = lo7_all[:, l : l + 1].astype(jnp.bfloat16)
+        hvals = ((lo_col >> 7) + 1).astype(jnp.bfloat16)
+        lvals = (lo_col & (LANE - 1)).astype(jnp.bfloat16)
         ph = jax.lax.dot_general(
             ok_bf, ohrank_first * hvals,
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -524,6 +535,53 @@ def _bin_kernel(x_ref, *rest, bp: BinnedPlan):
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        return ph, plo, rank_col, nd
+
+    if A_LOOP != "off":
+        # level fori_loop: the Mosaic program carries ONE level body
+        # (~4x smaller at NL=10) instead of NL copies - the cold-compile
+        # lever. idx rows live in VMEM scratch so the loop can slice them
+        # at a traced level index. "transpose" touches only leading-dim
+        # dynamic slices (+ [1,G]<->[G,1] transposes, a class the rank
+        # network already uses per level); "lane" uses dynamic lane-dim
+        # ref slicing instead.
+        idxT_ref, aux_ref = rest[-2:]
+        idxT_ref[:] = idx_all_t
+        if A_LOOP == "lane":
+            aux_ref[:] = idx_all  # [G, NL]
+
+        def body(l, nd_acc):
+            row = idxT_ref[pl.ds(l, 1), :]  # [1, G]
+            if A_LOOP == "lane":
+                idx_col = aux_ref[:, pl.ds(l, 1)]  # dynamic lane slice
+            else:
+                idx_col = jnp.transpose(row)
+            ph, plo, rank_col, nd = level_slabs(idx_col, row)
+            r0 = pl.multiple_of(l * S, S)
+            sh_ref[0, pl.ds(r0, S), :] = ph.astype(jnp.bfloat16)
+            sl_ref[0, pl.ds(r0, S), :] = plo.astype(jnp.bfloat16)
+            if A_LOOP == "lane":
+                rk_ref[:, pl.ds(l, 1)] = rank_col.astype(jnp.int32)
+            else:  # rank rows -> [NL, G] scratch, one transpose at the end
+                aux_ref[pl.ds(l, 1), :] = jnp.transpose(
+                    rank_col.astype(jnp.int32)
+                )
+            return nd_acc + nd
+
+        n_drop = jax.lax.fori_loop(0, NL, body, jnp.zeros((), jnp.float32))
+        if A_LOOP != "lane":
+            rk_ref[:] = jnp.transpose(aux_ref[:])
+        dr_ref[0, 0] = dr_ref[0, 0] + n_drop
+        return
+
+    sh_rows, sl_rows, rk_cols = [], [], []
+    n_drop = jnp.zeros((), jnp.float32)
+    for l in range(NL):
+        ph, plo, rank_col, nd = level_slabs(
+            idx_all[:, l : l + 1], idx_all_t[l : l + 1, :]
+        )
+        rk_cols.append(rank_col.astype(jnp.int32))
+        n_drop = n_drop + nd
         sh_rows.append(ph.astype(jnp.bfloat16))
         sl_rows.append(plo.astype(jnp.bfloat16))
 
@@ -575,6 +633,16 @@ def _bin_call(bp: BinnedPlan, x, eiw=None):
             jax.ShapeDtypeStruct((n_tiles * G, NL), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
+        scratch_shapes=(
+            []
+            if A_LOOP == "off"
+            else [
+                pltpu.VMEM((NL, G), jnp.int32),  # idx rows (level-major)
+                pltpu.VMEM(
+                    (G, NL) if A_LOOP == "lane" else (NL, G), jnp.int32
+                ),  # lane: idx cols; transpose: rank rows
+            ]
+        ),
         compiler_params=gk._VMEM_LIMIT,
     )(x, *ext_args, *gk._const_args(consts))
 

@@ -508,3 +508,60 @@ def test_wrap_degenerate_clustered_inputs_drop_nothing():
         with pltpu.force_tpu_interpret_mode():
             nd = int(bk.count_drops(split, x))
         assert nd == 0, (lo, hi, nd)
+
+
+@pytest.mark.parametrize("mode", ["transpose", "lane"])
+def test_a_loop_modes_bit_identical(monkeypatch, mode):
+    """Kernel A's fori-loop variants (A_LOOP, the cold-compile lever:
+    1294 -> ~290 jaxpr eqns at T=2^19) must be BIT-identical to the
+    unrolled kernel in forward and gradient, including the drop counter."""
+    from tcnn_tpu.ops.pallas import binned_kernel as bk
+
+    enc = GridEncoding(
+        2, n_levels=5, n_features_per_level=2, log2_hashmap_size=14,
+        base_resolution=16, per_level_scale=2.0,
+    )
+    split = enc._binned_split()
+    params = jnp.asarray(enc.init_params(jax.random.PRNGKey(0)))
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(0.02, 0.98, (512, 2)), jnp.float32)
+
+    def run():
+        with pltpu.force_tpu_interpret_mode():
+            return jax.jit(jax.value_and_grad(
+                lambda p: jnp.sum(
+                    bk.grid_encode_split(split, p, x).astype(jnp.float32) ** 2
+                )
+            ))(params)
+
+    y0, g0 = run()
+    monkeypatch.setattr(bk, "A_LOOP", mode)
+    y1, g1 = run()
+    assert float(y1) == float(y0)
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+    with pltpu.force_tpu_interpret_mode():
+        assert enc.count_binned_drops(x) == 0
+
+
+def test_a_loop_ext_iw_parity(monkeypatch):
+    """The loop path must also serve ext_iw mode (PPNG3's externally
+    indexed picks flow through the same kernel A)."""
+    from tcnn_tpu.ops.encodings.ppng import PPNG3Encoding
+    from tcnn_tpu.ops.pallas import binned_kernel as bk
+
+    enc = PPNG3Encoding(3, n_quants=32, n_frequencies=2, n_features=2)
+    assert enc._fast_plan() is not None
+    params = jnp.asarray(enc.init_params(jax.random.PRNGKey(1)))
+    x = jnp.asarray(
+        np.random.default_rng(3).uniform(0.05, 0.95, (256, 3)), jnp.float32
+    )
+
+    def run():
+        with pltpu.force_tpu_interpret_mode():
+            return np.asarray(
+                jax.jit(lambda p: enc._apply_binned(p, x, jnp.float32))(params)
+            )
+
+    base = run()
+    monkeypatch.setattr(bk, "A_LOOP", "transpose")
+    np.testing.assert_array_equal(run(), base)
