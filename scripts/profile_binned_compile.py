@@ -87,6 +87,36 @@ def main():
             bench("full train step",
                   lambda s, xx, tt: tr.train_step_fn(s, xx, tt),
                   tr.state, x, t)
+        elif w == "aloop":
+            # A_LOOP sweep (VERDICT r3 item 3): compile + runtime of
+            # kernel A per level-loop mode. Each mode traces a distinct
+            # program, so the persistent cache can't mask the comparison.
+            ref = None
+            for mode in ("off", "transpose", "lane"):
+                bk.A_LOOP = mode
+                try:
+                    t0 = time.time()
+                    fn = jax.jit(lambda xx: bk._bin_call(bp, xx))
+                    out = fn(x)
+                    np.asarray(out[3])  # real sync (axon-safe)
+                    tc_s = time.time() - t0
+                    t0 = time.time()
+                    iters = 20
+                    for _ in range(iters):
+                        out = fn(x)
+                    np.asarray(out[3])
+                    dt = (time.time() - t0) / iters
+                    print(f"A_LOOP={mode}: compile {tc_s:.1f} s, "
+                          f"run {dt*1e3:.2f} ms", flush=True)
+                    if ref is None:
+                        ref = np.asarray(out[0])
+                    else:
+                        ok = np.array_equal(ref, np.asarray(out[0]))
+                        print(f"  parity vs off: {ok}", flush=True)
+                except Exception as e:  # noqa: BLE001 - Mosaic may reject
+                    print(f"A_LOOP={mode}: FAILED {type(e).__name__}: "
+                          f"{str(e)[:200]}", flush=True)
+            bk.A_LOOP = "off"
 
 
 if __name__ == "__main__":
