@@ -293,3 +293,34 @@ def test_fused_recompute_mode_production_shape(monkeypatch):
     # different tile boundaries reorder the bf16 accumulation; same class
     # as the composed-vs-fused tolerance
     assert rel < 1e-2, rel
+
+
+def test_binned_a_loop_modes_on_hw(monkeypatch):
+    """A_LOOP (kernel A level fori-loop, the cold-compile lever) on real
+    Mosaic: 'transpose' must compile and stay bit-identical to the
+    unrolled kernel; 'lane' (dynamic lane-dim slicing) is allowed to be
+    rejected by the compiler but must be bit-identical when it isn't."""
+    from tcnn_tpu.ops.pallas import binned_kernel as bk
+
+    enc = _grid(19, scale=2.0)
+    bp = enc._binned_split().binned
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(0, 1, (1 << 13, 2)), jnp.float32)
+
+    def run():
+        sh, sl, rk, dr = jax.jit(lambda xx: bk._bin_call(bp, xx))(x)
+        return (np.asarray(sh), np.asarray(sl), np.asarray(rk),
+                float(np.asarray(dr)[0, 0]))
+
+    base = run()
+    monkeypatch.setattr(bk, "A_LOOP", "transpose")
+    got = run()
+    for a, b in zip(base, got[:3] + (got[3],)):
+        np.testing.assert_array_equal(a, b)
+    monkeypatch.setattr(bk, "A_LOOP", "lane")
+    try:
+        got = run()
+    except Exception:
+        pytest.skip("Mosaic rejected dynamic lane slicing (documented)")
+    for a, b in zip(base, got[:3] + (got[3],)):
+        np.testing.assert_array_equal(a, b)
