@@ -212,12 +212,13 @@ class Trainer:
         # fused-kernel scheduling knobs are module globals read at trace
         # time; keying on them makes a knob flip (tuning sweeps) retrace
         # instead of silently keeping the old schedule
+        from .ops.pallas import binned_kernel as _bk
         from .ops.pallas import train_kernel as _tk
 
         return (
             ml_key, self.perturbation_sigma,
             _tk.RECOMPUTE_MASKS, _tk.FUSED_TILE_DIV, _tk.PICK_VARIANT,
-            _tk.INFER_TILE,
+            _tk.INFER_TILE, _bk.A_LOOP,
         )
 
     def _get_jitted(self, name, fn, **jit_kwargs):
