@@ -829,7 +829,9 @@ def _place_kernel(x_ref, rk_ref, gy_ref, *rest, bp: BinnedPlan):
     if bp.sub.stochastic:
         u_ref = rest[0]
         rest = rest[1:]
-    const_refs, sv_ref = rest[:-1], rest[-1]
+    const_refs = rest[: len(gk._CONST_NAMES)]
+    # output, then (loop modes only) the three VMEM scratch refs
+    sv_ref = rest[len(gk._CONST_NAMES)]
     cr = {n: ref[:] for n, ref in zip(gk._CONST_NAMES, const_refs)}
     NL, S, cap, F, G = bp.n_levels, bp.s, bp.cap, bp.f, bp.g
     C = bp.sub.n_corners
@@ -868,26 +870,83 @@ def _place_kernel(x_ref, rk_ref, gy_ref, *rest, bp: BinnedPlan):
             axis=0,
         )  # [G, NL]
 
+    # per-pick scatter weights: the stochastic chosen-corner mask replaces
+    # the interpolation weights (grid.h:284-299)
+    w_all = sel_c if sel_c is not None else cw_all
+
+    def place_level(k_col, rank_col, vals_f):
+        """One level's slab [S, F*cap] from its key/rank columns and the
+        already-weighted per-feature gy columns ([G, 1] each). Duplicate
+        picks ADD in the dot_general, exactly."""
+        ok_bf = (k_col == iota_s).astype(jnp.bfloat16)
+        ohrank = (rank_col == iota_cap).astype(jnp.float32)
+        per_f = [
+            jax.lax.dot_general(
+                ok_bf, (ohrank * v).astype(jnp.bfloat16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [S, cap]
+            for v in vals_f
+        ]
+        return jnp.concatenate(per_f, axis=1)  # [S, F*cap]
+
+    if A_LOOP != "off":
+        # same compile lever as kernel A: one level body in a fori_loop
+        # instead of NL unrolled copies; level columns come from VMEM
+        # scratch (transpose: level-major rows + [1,G]<->[G,1] transposes;
+        # lane: dynamic lane-dim slicing).
+        idx_scr, w_scr, gy_scr = rest[len(gk._CONST_NAMES) + 1 :]
+        lane = A_LOOP == "lane"
+        if lane:
+            idx_scr[:] = idx_all  # [G, NL]; ranks read from rk_ref lanes
+        else:
+            # [2*NL, G]: idx rows, then rank rows
+            idx_scr[0:NL, :] = jnp.transpose(idx_all)
+            idx_scr[NL : 2 * NL, :] = jnp.transpose(ranks)
+        if w_all is not None:
+            w_scr[:] = w_all if lane else jnp.transpose(w_all)
+        gy_scr[:] = gy_c if lane else jnp.transpose(gy_c)
+
+        def body(l, _):
+            if lane:
+                idx_col = idx_scr[:, pl.ds(l, 1)]
+                rank_col = rk_ref[:, pl.ds(l, 1)]
+            else:
+                idx_col = jnp.transpose(idx_scr[pl.ds(l, 1), :])
+                rank_col = jnp.transpose(idx_scr[pl.ds(NL + l, 1), :])
+            k_col = idx_col & (bp.s - 1)
+            vals_f = []
+            for f in range(F):
+                if lane:
+                    v = gy_scr[:, pl.ds(l * F + f, 1)]
+                else:
+                    v = jnp.transpose(gy_scr[pl.ds(l * F + f, 1), :])
+                if w_all is not None:
+                    if lane:
+                        v = v * w_scr[:, pl.ds(l, 1)]
+                    else:
+                        v = v * jnp.transpose(w_scr[pl.ds(l, 1), :])
+                vals_f.append(v)
+            r0 = pl.multiple_of(l * S, S)
+            sv_ref[0, pl.ds(r0, S), :] = place_level(
+                k_col, rank_col, vals_f
+            ).astype(jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, NL, body, 0)
+        return
+
     rows = []
     for l in range(NL):
-        ok_bf = (k_all[:, l : l + 1] == iota_s).astype(jnp.bfloat16)
-        ohrank = (ranks[:, l : l + 1] == iota_cap).astype(jnp.float32)
-        per_f = []
+        vals_f = []
         for f in range(F):
             v = gy_c[:, l * F + f : l * F + f + 1]
-            if sel_c is not None:
-                v = v * sel_c[:, l : l + 1]
-            elif cw_all is not None:
-                v = v * cw_all[:, l : l + 1]
-            rhs = (ohrank * v).astype(jnp.bfloat16)  # [G, cap]
-            per_f.append(
-                jax.lax.dot_general(
-                    ok_bf, rhs,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [S, cap] - duplicate picks ADD here, exactly
-            )
-        rows.append(jnp.concatenate(per_f, axis=1))  # [S, F*cap]
+            if w_all is not None:
+                v = v * w_all[:, l : l + 1]
+            vals_f.append(v)
+        rows.append(
+            place_level(k_all[:, l : l + 1], ranks[:, l : l + 1], vals_f)
+        )
     sv_ref[0] = jnp.concatenate(rows, axis=0).astype(jnp.float32)
 
 
@@ -918,6 +977,23 @@ def _place_call(bp: BinnedPlan, x, ranks, gy, u=None, eiw=None):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, NL * S, F * cap),
                                        jnp.float32),
+        scratch_shapes=(
+            []
+            if A_LOOP == "off"
+            else [
+                # lane: idx cols / transpose: idx rows + rank rows
+                pltpu.VMEM(
+                    (G, NL) if A_LOOP == "lane" else (2 * NL, G), jnp.int32
+                ),
+                pltpu.VMEM(
+                    (G, NL) if A_LOOP == "lane" else (NL, G), jnp.float32
+                ),  # scatter weights (cw or stochastic corner mask)
+                pltpu.VMEM(
+                    (G, NL * F) if A_LOOP == "lane" else (NL * F, G),
+                    jnp.float32,
+                ),  # corner-stacked gy
+            ]
+        ),
         compiler_params=gk._VMEM_LIMIT,
     )(x, ranks, gy, *ext_args, *u_args, *gk._const_args(consts))
 
