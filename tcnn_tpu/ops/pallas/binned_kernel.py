@@ -756,7 +756,9 @@ def _combine_kernel(x_ref, rk_ref, feats_ref, *rest, bp: BinnedPlan):
     elif bp.sub.ext_hash:
         ext_ref = rest[0]
         rest = rest[1:]
-    const_refs, y_ref = rest[:-1], rest[-1]
+    const_refs = rest[: len(gk._CONST_NAMES)]
+    # output, then (loop modes only) the two VMEM scratch refs
+    y_ref = rest[len(gk._CONST_NAMES)]
     cr = {n: ref[:] for n, ref in zip(gk._CONST_NAMES, const_refs)}
     NL, S, cap, F, G = bp.n_levels, bp.s, bp.cap, bp.f, bp.g
     C, nt = bp.sub.n_corners, bp.nt
@@ -771,19 +773,78 @@ def _combine_kernel(x_ref, rk_ref, feats_ref, *rest, bp: BinnedPlan):
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
     iota_cap = jax.lax.broadcasted_iota(jnp.int32, (G, cap), 1)
 
-    cols = []
-    for l in range(NL):
-        onehot_k = (k_all[:, l : l + 1] == iota_s).astype(jnp.bfloat16)
-        feats_l = feats_ref[0, l * S : (l + 1) * S, :]  # [S, F*cap] bf16
+    def combine_level(feats_l, k_col, rank_col, cw_col):
+        """One level's picked feature columns: [G, 1] per f (slot read via
+        the superblock one-hot matmul + rank lane-reduce, weight folded).
+        feats_l: the level's [S, F*cap] bf16 gathered-slot slab."""
+        onehot_k = (k_col == iota_s).astype(jnp.bfloat16)
         tmp = jnp.dot(onehot_k, feats_l,
                       preferred_element_type=jnp.float32)  # [G, F*cap]
-        ohrank = (ranks[:, l : l + 1] == iota_cap).astype(jnp.float32)
+        ohrank = (rank_col == iota_cap).astype(jnp.float32)
+        out = []
         for f in range(F):
             v = jnp.sum(tmp[:, f * cap : (f + 1) * cap] * ohrank,
                         axis=1, keepdims=True)  # [G, 1]
+            if cw_col is not None:
+                v = v * cw_col
+            out.append(v)
+        return out
+
+    if A_LOOP != "off":
+        # same compile lever as kernels A/P; the picked matrix accumulates
+        # as a fori_loop carry (each level adds its columns through an
+        # iota lane mask - [G, NL*F] is a few vregs, so the masked adds
+        # are noise next to the per-level matmul).
+        idx_scr, w_scr = rest[len(gk._CONST_NAMES) + 1 :]
+        lane = A_LOOP == "lane"
+        if lane:
+            idx_scr[:] = idx_all
+        else:
+            idx_scr[0:NL, :] = jnp.transpose(idx_all)
+            idx_scr[NL : 2 * NL, :] = jnp.transpose(ranks)
+        if cw_all is not None:
+            w_scr[:] = cw_all if lane else jnp.transpose(cw_all)
+        iota_nlf = jax.lax.broadcasted_iota(jnp.int32, (G, NL * F), 1)
+
+        def body(l, picked):
+            if lane:
+                idx_col = idx_scr[:, pl.ds(l, 1)]
+                rank_col = rk_ref[:, pl.ds(l, 1)]
+            else:
+                idx_col = jnp.transpose(idx_scr[pl.ds(l, 1), :])
+                rank_col = jnp.transpose(idx_scr[pl.ds(NL + l, 1), :])
+            cw_col = None
             if cw_all is not None:
-                v = v * cw_all[:, l : l + 1]
-            cols.append(v)
+                cw_col = (
+                    w_scr[:, pl.ds(l, 1)] if lane
+                    else jnp.transpose(w_scr[pl.ds(l, 1), :])
+                )
+            k_col = idx_col & (bp.s - 1)
+            r0 = pl.multiple_of(l * S, S)
+            vals = combine_level(
+                feats_ref[0, pl.ds(r0, S), :], k_col, rank_col, cw_col
+            )
+            for f, v in enumerate(vals):
+                picked = picked + jnp.where(iota_nlf == l * F + f, v, 0.0)
+            return picked
+
+        picked = jax.lax.fori_loop(
+            0, NL, body, jnp.zeros((G, NL * F), jnp.float32)
+        )
+        y_ref[:] = (
+            picked.reshape(C, nt, NL * F).sum(axis=0).astype(y_ref.dtype)
+        )
+        return
+
+    cols = []
+    for l in range(NL):
+        cols.extend(
+            combine_level(
+                feats_ref[0, l * S : (l + 1) * S, :],
+                k_all[:, l : l + 1], ranks[:, l : l + 1],
+                cw_all[:, l : l + 1] if cw_all is not None else None,
+            )
+        )
     picked = jnp.concatenate(cols, axis=1)  # [G, NL*F] l-major f-minor
     y_ref[:] = picked.reshape(C, nt, NL * F).sum(axis=0).astype(y_ref.dtype)
 
@@ -809,6 +870,19 @@ def _combine_call(bp: BinnedPlan, x, ranks, feats, eiw=None):
         out_specs=pl.BlockSpec((bp.nt, NL * F), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((x.shape[0], NL * F), jnp.bfloat16),
+        scratch_shapes=(
+            []
+            if A_LOOP == "off"
+            else [
+                # lane: idx cols / transpose: idx rows + rank rows
+                pltpu.VMEM(
+                    (G, NL) if A_LOOP == "lane" else (2 * NL, G), jnp.int32
+                ),
+                pltpu.VMEM(
+                    (G, NL) if A_LOOP == "lane" else (NL, G), jnp.float32
+                ),  # interpolation weights
+            ]
+        ),
         compiler_params=gk._VMEM_LIMIT,
     )(x, ranks, feats, *ext_args, *gk._const_args(consts))
 
