@@ -25,6 +25,8 @@ import tcnn_tpu as tc
 from tcnn_tpu.ops.pallas import binned_kernel as bk
 
 B = 1 << int(os.environ.get("TCNN_LOG2_B", "18"))
+LOG2_T = int(os.environ.get("TCNN_LOG2_T", "19"))  # tiny values: CI smoke
+ITERS = int(os.environ.get("TCNN_PROF_ITERS", "20"))
 
 
 def main():
@@ -33,7 +35,7 @@ def main():
         "optimizer": {"otype": "Adam", "learning_rate": 1e-2},
         "encoding": {
             "otype": "HashGrid", "n_levels": 16, "n_features_per_level": 2,
-            "log2_hashmap_size": 19, "base_resolution": 16,
+            "log2_hashmap_size": LOG2_T, "base_resolution": 16,
             "per_level_scale": 2.0,
         },
         "network": {"otype": "FullyFusedMLP", "n_neurons": 64,
@@ -88,35 +90,47 @@ def main():
                   lambda s, xx, tt: tr.train_step_fn(s, xx, tt),
                   tr.state, x, t)
         elif w == "aloop":
-            # A_LOOP sweep (VERDICT r3 item 3): compile + runtime of
-            # kernel A per level-loop mode. Each mode traces a distinct
-            # program, so the persistent cache can't mask the comparison.
-            ref = None
-            for mode in ("off", "transpose", "lane"):
-                bk.A_LOOP = mode
-                try:
-                    t0 = time.time()
-                    fn = jax.jit(lambda xx: bk._bin_call(bp, xx))
-                    out = fn(x)
-                    np.asarray(out[3])  # real sync (axon-safe)
-                    tc_s = time.time() - t0
-                    t0 = time.time()
-                    iters = 20
-                    for _ in range(iters):
+            # A_LOOP sweep (VERDICT r3 item 3): compile + runtime per
+            # level-loop mode, for kernel A alone AND the full binned
+            # forward (A+gather+combine+dense prefix - the user-facing
+            # cold-compile number). Each mode traces a distinct program,
+            # so the persistent cache can't mask the comparison.
+            targets = [
+                ("binA", lambda xx: bk._bin_call(bp, xx),
+                 lambda out: out[3]),
+                ("fullfwd",
+                 lambda xx: bk.grid_encode_split(split, params, xx),
+                 lambda out: out),
+            ]
+            for tname, tfn, sync in targets:
+                ref = None
+                for mode in ("off", "transpose", "lane"):
+                    bk.A_LOOP = mode
+                    try:
+                        t0 = time.time()
+                        fn = jax.jit(tfn)
                         out = fn(x)
-                    np.asarray(out[3])
-                    dt = (time.time() - t0) / iters
-                    print(f"A_LOOP={mode}: compile {tc_s:.1f} s, "
-                          f"run {dt*1e3:.2f} ms", flush=True)
-                    if ref is None:
-                        ref = np.asarray(out[0])
-                    else:
-                        ok = np.array_equal(ref, np.asarray(out[0]))
-                        print(f"  parity vs off: {ok}", flush=True)
-                except Exception as e:  # noqa: BLE001 - Mosaic may reject
-                    print(f"A_LOOP={mode}: FAILED {type(e).__name__}: "
-                          f"{str(e)[:200]}", flush=True)
-            bk.A_LOOP = "off"
+                        np.asarray(sync(out)).reshape(-1)[:1]  # axon-safe
+                        tc_s = time.time() - t0
+                        t0 = time.time()
+                        iters = ITERS
+                        for _ in range(iters):
+                            out = fn(x)
+                        np.asarray(sync(out)).reshape(-1)[:1]
+                        dt = (time.time() - t0) / iters
+                        print(f"{tname} A_LOOP={mode}: compile {tc_s:.1f} s,"
+                              f" run {dt*1e3:.2f} ms", flush=True)
+                        cur = np.asarray(sync(out))
+                        if ref is None:
+                            ref = cur
+                        else:
+                            print(f"  parity vs off: "
+                                  f"{np.array_equal(ref, cur)}", flush=True)
+                    except Exception as e:  # noqa: BLE001 - Mosaic may say no
+                        print(f"{tname} A_LOOP={mode}: FAILED "
+                              f"{type(e).__name__}: {str(e)[:200]}",
+                              flush=True)
+                bk.A_LOOP = "off"
 
 
 if __name__ == "__main__":
