@@ -28,13 +28,23 @@ from tcnn_tpu.utils.image import build_quad_table, sample_image_quad, synthetic_
 B = 1 << 18
 
 
+def _sync(r):
+    """D2H-copy one scalar of r (PRNGKey leaves aren't numpy-convertible)."""
+    for leaf in jax.tree.leaves(r):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.number):
+            return np.asarray(leaf.reshape(-1)[:1])
+    return np.asarray(
+        jax.random.key_data(jax.tree.leaves(r)[0]).reshape(-1)[:1]
+    )
+
+
 def timeit(fn, *args, iters=30):
     r = fn(*args)
-    np.asarray(jax.tree.leaves(r)[0].reshape(-1)[:1])
+    _sync(r)
     t0 = time.perf_counter()
     for _ in range(iters):
         r = fn(*args)
-    np.asarray(jax.tree.leaves(r)[0].reshape(-1)[:1])
+    _sync(r)
     return (time.perf_counter() - t0 - 0.03) / iters
 
 

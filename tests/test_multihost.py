@@ -20,6 +20,7 @@ import pytest
 
 _WORKER = r"""
 import json, os, sys
+sys.path.insert(0, os.getcwd())  # repo root (the spawning test sets cwd)
 pid = int(sys.argv[1])
 port = sys.argv[2]
 outdir = sys.argv[3]
