@@ -270,8 +270,11 @@ def main():
         tk.PICK_VARIANT = best_inf[1] if best_inf else "base"
         # tile sweep for the winning variant (forward-only kernel is
         # VMEM-light; bigger tiles than the train-shared plan tile can win)
+        # tile 4096 is excluded: its Mosaic compile hung >12 min on the
+        # bench chip (r3 probe) and 2048 already fails at runtime, so
+        # larger tiles have no upside worth the hang risk
         best_tile = (best_inf[0] if best_inf else 1e9, 0)
-        for tile in (2048, 4096):
+        for tile in (2048,):
             if _tune_skip(f"inf tile={tile}"):
                 continue
             tk.INFER_TILE = tile
