@@ -29,7 +29,13 @@ B = 1 << 18
 
 
 def _sync(r):
-    """D2H-copy one scalar of r (PRNGKey leaves aren't numpy-convertible)."""
+    """D2H-copy one scalar of r (PRNGKey leaves aren't numpy-convertible).
+
+    Assumes r's leaves come from ONE jit dispatch (single executable): the
+    copy waits for that whole executable, so syncing the first numeric
+    leaf suffices. For results assembled from separate dispatches, call
+    jax.block_until_ready(r) first (advisor r3 finding). The fallback
+    assumes leaves[0] is a typed PRNG key."""
     for leaf in jax.tree.leaves(r):
         if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.number):
             return np.asarray(leaf.reshape(-1)[:1])
