@@ -73,6 +73,15 @@ PICK_VARIANT = "base"
 #: so tiles larger than the train-shared plan tile can win - swept by
 #: bench.py's autotune alongside the other knobs.
 INFER_TILE = 0
+#: pick variant for the forward-only kernel ("" = PICK_VARIANT): with no
+#: scatter the VMEM/VPU trade differs, so its winner can diverge from the
+#: train kernel's (round-3 bench: train v3b, inference cwend). Keeping
+#: them separate lets one process run both at their own winners.
+INFER_VARIANT = ""
+
+#: These module globals are the process-wide defaults; a per-model
+#: override travels as Trainer.schedule (ops.pallas.schedule.Schedule),
+#: which the Trainer applies around its traced calls.
 
 
 def _fused_plan_for(model):
@@ -152,14 +161,14 @@ def supported_infer(model) -> bool:
     """Whether the forward-only fused kernel covers this model AT THE
     CURRENT KNOBS. The infer kernel's footprint differs from the train
     kernel's (no gtable, masks transient, tile = INFER_TILE or the full
-    plan tile), and INFER_TILE is a process-global autotuned for one
-    specific model - a second model in the same process must re-pass this
-    gate at that tile or fall back to the composed path."""
+    plan tile). The module-global knobs are process defaults; a Trainer
+    with a per-model Schedule applies it around this gate, so two models
+    in one process each gate at their own tile/variant."""
     plan = _fused_plan_for(model)
     if plan is None:
         return False
     try:
-        variant = _resolve_variant(plan)
+        variant = _resolve_variant(plan, infer=True)
     except ValueError:
         return False
     nt = INFER_TILE or plan.batch_tile
@@ -178,15 +187,16 @@ def supported_infer(model) -> bool:
     return est < 70 * 1024 * 1024
 
 
-def _resolve_variant(plan) -> str:
+def _resolve_variant(plan, infer: bool = False) -> str:
     """The pick variant actually used for this plan: Nearest has no
     interpolation weights, so the weight-at-the-end variants reduce to
-    base (and the wrapper must agree with the kernel on the enc layout)."""
+    base (and the wrapper must agree with the kernel on the enc layout).
+    The forward-only kernel (infer=True) uses INFER_VARIANT when set."""
     from ...common import InterpolationType
 
     if plan.interpolation == InterpolationType.Nearest:
         return "base"
-    v = PICK_VARIANT
+    v = (INFER_VARIANT or PICK_VARIANT) if infer else PICK_VARIANT
     if v not in ("base", "cwend", "v3b"):
         raise ValueError(f"unknown PICK_VARIANT {v!r}")
     return v
@@ -707,7 +717,7 @@ def fused_forward(model, params, x):
     for r, c in mlp.layer_sizes():
         wts.append(net_p[off : off + r * c].reshape(r, c).T.astype(jnp.bfloat16))
         off += r * c
-    variant = _resolve_variant(plan)
+    variant = _resolve_variant(plan, infer=True)
     if variant != "base":
         perm, _ = _fm_row_perm(plan, int(wts[0].shape[0]))
         wts[0] = wts[0][perm, :]

@@ -27,6 +27,7 @@ Feature parity:
 
 from __future__ import annotations
 
+import contextlib
 import json
 
 import jax
@@ -67,6 +68,52 @@ class Trainer:
             "rng": k_rng,
         }
         self._jitted = {}
+        #: per-model fused-kernel schedule (ops.pallas.schedule.Schedule);
+        #: None = the train_kernel module defaults. Applied around every
+        #: traced call, so two Trainers in one process each run (and gate)
+        #: at their own knobs instead of sharing process globals.
+        self.schedule = None
+
+    def load_schedule(self) -> bool:
+        """Adopt the persisted autotuned schedule for this model on this
+        device kind, if one exists (bench.py saves its autotune winners
+        there). Returns whether one was found."""
+        from .ops.pallas.schedule import load_schedule, model_schedule_key
+
+        sched = load_schedule(
+            jax.devices()[0].device_kind, model_schedule_key(self.model)
+        )
+        if sched is not None:
+            self.schedule = sched
+        return sched is not None
+
+    @contextlib.contextmanager
+    def _schedule_ctx(self):
+        """Apply self.schedule to the train_kernel globals for the scope of
+        a traced call (the kernels read the knobs at trace time); restores
+        the process defaults after. No-op when schedule is None."""
+        if self.schedule is None:
+            yield
+            return
+        from .ops.pallas import train_kernel as tk
+
+        saved = (
+            tk.RECOMPUTE_MASKS, tk.FUSED_TILE_DIV, tk.PICK_VARIANT,
+            tk.INFER_VARIANT, tk.INFER_TILE,
+        )
+        s = self.schedule
+        tk.RECOMPUTE_MASKS = s.recompute_masks
+        tk.FUSED_TILE_DIV = s.fused_tile_div
+        tk.PICK_VARIANT = s.pick_variant
+        tk.INFER_VARIANT = s.infer_variant
+        tk.INFER_TILE = s.infer_tile
+        try:
+            yield
+        finally:
+            (
+                tk.RECOMPUTE_MASKS, tk.FUSED_TILE_DIV, tk.PICK_VARIANT,
+                tk.INFER_VARIANT, tk.INFER_TILE,
+            ) = saved
 
     # ------------------------------------------------------------------
     # Functional core (pure; safe to wrap in shard_map / pjit)
@@ -209,17 +256,22 @@ class Trainer:
         else:
             L = int(getattr(enc, "n_levels", 1))
             ml_key = sum(1 for l in range(L) if l < float(ml) * L + 1e-3)
-        # fused-kernel scheduling knobs are module globals read at trace
-        # time; keying on them makes a knob flip (tuning sweeps) retrace
-        # instead of silently keeping the old schedule
+        # fused-kernel scheduling knobs are read at trace time (the
+        # per-trainer schedule when set, else the module globals); keying
+        # on them makes a knob flip (tuning sweeps) retrace instead of
+        # silently keeping the old schedule
         from .ops.pallas import binned_kernel as _bk
         from .ops.pallas import train_kernel as _tk
 
-        return (
-            ml_key, self.perturbation_sigma,
-            _tk.RECOMPUTE_MASKS, _tk.FUSED_TILE_DIV, _tk.PICK_VARIANT,
-            _tk.INFER_TILE, _bk.A_LOOP,
+        knobs = (
+            self.schedule.as_tuple()
+            if self.schedule is not None
+            else (
+                _tk.RECOMPUTE_MASKS, _tk.FUSED_TILE_DIV, _tk.PICK_VARIANT,
+                _tk.INFER_VARIANT, _tk.INFER_TILE,
+            )
         )
+        return (ml_key, self.perturbation_sigma) + knobs + (_bk.A_LOOP,)
 
     def _get_jitted(self, name, fn, **jit_kwargs):
         key = (name, self._trace_baked_key())
@@ -235,27 +287,28 @@ class Trainer:
         """Run one step; updates self.state; returns loss as a device scalar
         (read it lazily - forcing it each step adds a device sync, which the
         reference also warns about, trainer.h:205-207)."""
-        if dL_doutput is not None:
-            step = self._get_jitted(
-                "train_ext",
-                lambda s, i, g: self.train_step_fn(s, i, None, None, g),
-                donate_argnums=(0,),
-            )
-            self.state, loss_value = step(self.state, inputs, dL_doutput)
-        elif pdf is not None:
-            step = self._get_jitted(
-                "train_pdf",
-                lambda s, i, t, p: self.train_step_fn(s, i, t, p),
-                donate_argnums=(0,),
-            )
-            self.state, loss_value = step(self.state, inputs, targets, pdf)
-        else:
-            step = self._get_jitted(
-                "train",
-                lambda s, i, t: self.train_step_fn(s, i, t),
-                donate_argnums=(0,),
-            )
-            self.state, loss_value = step(self.state, inputs, targets)
+        with self._schedule_ctx():
+            if dL_doutput is not None:
+                step = self._get_jitted(
+                    "train_ext",
+                    lambda s, i, g: self.train_step_fn(s, i, None, None, g),
+                    donate_argnums=(0,),
+                )
+                self.state, loss_value = step(self.state, inputs, dL_doutput)
+            elif pdf is not None:
+                step = self._get_jitted(
+                    "train_pdf",
+                    lambda s, i, t, p: self.train_step_fn(s, i, t, p),
+                    donate_argnums=(0,),
+                )
+                self.state, loss_value = step(self.state, inputs, targets, pdf)
+            else:
+                step = self._get_jitted(
+                    "train",
+                    lambda s, i, t: self.train_step_fn(s, i, t),
+                    donate_argnums=(0,),
+                )
+                self.state, loss_value = step(self.state, inputs, targets)
         return loss_value
 
     @property
@@ -342,23 +395,27 @@ class Trainer:
         fused-kernel shaped."""
         params = self.inference_params
         enc = getattr(self.model, "encoding", None)
-        if self._fused_infer_ok() and getattr(enc, "max_level", None) is None:
-            from .ops.pallas.train_kernel import fused_forward
+        with self._schedule_ctx():
+            if (
+                self._fused_infer_ok()
+                and getattr(enc, "max_level", None) is None
+            ):
+                from .ops.pallas.train_kernel import fused_forward
 
+                fn = self._get_jitted(
+                    "inference_fused",
+                    lambda p, i: fused_forward(self.model, p, i)[
+                        :, : self.model.n_output_dims
+                    ].astype(jnp.float32),
+                )
+                return fn(params, inputs)
             fn = self._get_jitted(
-                "inference_fused",
-                lambda p, i: fused_forward(self.model, p, i)[
-                    :, : self.model.n_output_dims
-                ].astype(jnp.float32),
+                "inference",
+                lambda p, i: self.model.apply(
+                    p, i, compute_dtype=self.compute_dtype
+                )[:, : self.model.n_output_dims].astype(jnp.float32),
             )
             return fn(params, inputs)
-        fn = self._get_jitted(
-            "inference",
-            lambda p, i: self.model.apply(
-                p, i, compute_dtype=self.compute_dtype
-            )[:, : self.model.n_output_dims].astype(jnp.float32),
-        )
-        return fn(params, inputs)
 
     # ------------------------------------------------------------------
     # Hyperparams / checkpointing

@@ -87,6 +87,71 @@ def build_quad_table(image):
     return q.reshape(-1, 4 * image.shape[-1])
 
 
+def build_quad_table_packed(image):
+    """[H, W, 3] float (8-bit-quantized values, e.g. from `load_image`) ->
+    [H*W, 3] uint32: row (y*W + x) holds the 4 edge-clamped bilinear corner
+    pixels as 12 rgb888 bytes packed little-endian into 3 u32 words.
+
+    XLA's TPU gather cost is per-ELEMENT (~0.55 G elements/s measured on
+    v5e, scripts/probe_r4_glue2.py), so fetching 3 u32 words per sample is
+    ~4x cheaper than the 12-fp32 `build_quad_table` row. Exactness: the
+    reference trains against an 8-bit texture (uchar4 normalized - the
+    cudaCreateTextureObject setup in samples/mlp_learning_an_image.cu), so
+    u8 is the reference protocol, not an approximation; `load_image`
+    outputs are already exact k/255 values and round-trip bit-identically
+    through `sample_image_quad_packed`."""
+    image = jnp.asarray(image)
+    u8 = jnp.clip(
+        jnp.round(image * 255.0), 0, 255
+    ).astype(jnp.uint8)
+    right = jnp.concatenate([u8[:, 1:], u8[:, -1:]], axis=1)
+    down = jnp.concatenate([u8[1:], u8[-1:]], axis=0)
+    downright = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+    q = jnp.concatenate([u8, right, down, downright], axis=-1)  # [H, W, 12]
+    q = q.reshape(-1, 3, 4)  # 4 consecutive bytes per u32 word
+    # little-endian byte packing (TPU + all supported hosts are LE)
+    w32 = q.astype(jnp.uint32)
+    packed = (
+        w32[..., 0]
+        | (w32[..., 1] << 8)
+        | (w32[..., 2] << 16)
+        | (w32[..., 3] << 24)
+    )
+    return packed  # [H*W, 3] uint32
+
+
+def sample_image_quad_packed(quad_u32, height: int, width: int, xy):
+    """Bilinear sampling through a `build_quad_table_packed` table;
+    identical results to `sample_image_quad` on 8-bit-quantized images
+    (the unpacked k/255 corner values are exact f32)."""
+    h, w = height, width
+    fx = xy[:, 0] * w - 0.5
+    fy = xy[:, 1] * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = (fx - x0)[:, None]
+    ty = (fy - y0)[:, None]
+    tx = jnp.where(x0[:, None] < 0, 0.0, tx)
+    ty = jnp.where(y0[:, None] < 0, 0.0, ty)
+    x0 = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    rows = quad_u32[y0 * w + x0]  # [B, 3] u32 - the only gather
+    # unpack 12 bytes -> [B, 12] f32 in [0, 1]
+    b = []
+    for word in range(3):
+        wv = rows[:, word]
+        for shift in (0, 8, 16, 24):
+            b.append((wv >> shift) & jnp.uint32(0xFF))
+    # true division (not reciprocal multiply): keeps the unpacked values
+    # bit-identical to load_image's `u8 / 255.0`
+    vals = jnp.stack(b, axis=-1).astype(jnp.float32) / 255.0
+    c00, c01 = vals[:, 0:3], vals[:, 3:6]
+    c10, c11 = vals[:, 6:9], vals[:, 9:12]
+    top = c00 * (1 - tx) + c01 * tx
+    bot = c10 * (1 - tx) + c11 * tx
+    return top * (1 - ty) + bot * ty
+
+
 def sample_image_quad(quad, height: int, width: int, xy):
     """Bilinear sampling through a `build_quad_table` table; identical
     results to `sample_image` (including edge clamping) with 1 gather."""

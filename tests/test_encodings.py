@@ -273,3 +273,27 @@ def test_quad_sampling_matches_reference_bilinear():
     got = sample_image_quad(quad, 37, 53, xy)
     ref = sample_image(img, xy)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_packed_quad_sampling_exact_on_8bit():
+    """The u32-packed quad table reproduces sample_image_quad EXACTLY on
+    8-bit-quantized images (the load_image class: k/255 values), including
+    edge-clamped out-of-range coordinates."""
+    from tcnn_tpu.utils.image import (
+        build_quad_table,
+        build_quad_table_packed,
+        sample_image_quad,
+        sample_image_quad_packed,
+        synthetic_image,
+    )
+
+    img = synthetic_image(37, 53)
+    img8 = np.round(np.asarray(img) * 255.0) / 255.0  # what load_image yields
+    quad = build_quad_table(jnp.asarray(img8, jnp.float32))
+    packed = build_quad_table_packed(jnp.asarray(img8, jnp.float32))
+    assert packed.dtype == jnp.uint32 and packed.shape == (37 * 53, 3)
+    rng = np.random.default_rng(1)
+    xy = jnp.asarray(rng.uniform(-0.1, 1.1, (500, 2)), jnp.float32)
+    got = sample_image_quad_packed(packed, 37, 53, xy)
+    ref = sample_image_quad(quad, 37, 53, xy)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
