@@ -164,10 +164,10 @@ def main():
         jax.default_backend() == "tpu" or autotune == "force"
     ):
         candidates = [
+            (False, 2, "vt"),     # transposed kernel, tile 512 (r4 winner)
+            (False, 4, "vt"),     # transposed kernel, tile 256
+            (False, 4, "v3b"),    # round-3 winner (MXU lane-pick)
             (False, 4, "base"),   # round-2 production schedule
-            (False, 4, "v3b"),    # MXU lane-pick, same tile
-            (False, 2, "v3b"),    # v3b's i1 masks are small: tile 512 fits
-            (False, 4, "cwend"),  # wide weight multiply, same tile
             (True, 2, "v3b"),     # bigger tile, masks recomputed
         ]
         x_tune = jax.random.uniform(jax.random.PRNGKey(3), (BATCH_SIZE, 2))
@@ -284,7 +284,7 @@ def main():
             return (time.time() - t0) / 10
 
         best_inf = None
-        for variant in ("base", "cwend", "v3b"):
+        for variant in ("vt", "cwend", "v3b"):
             if _tune_skip(f"inf {variant}"):
                 continue
             tk.INFER_VARIANT = variant

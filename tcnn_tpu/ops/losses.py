@@ -42,8 +42,13 @@ class Loss:
 
     otype = "Loss"
 
-    def value_and_grad_fn(self, prediction, target, pdf):
-        """Return (values, grad) both [B, stride] fp32 (pre-loss-scale)."""
+    def value_and_grad_fn(self, prediction, target, pdf, dims_axis=1):
+        """Return (values, grad) both [B, stride] fp32 (pre-loss-scale).
+
+        dims_axis: which axis carries the output dims (1 = the public
+        [B, stride] layout; 0 = the transposed [stride, B] layout used by
+        the Pallas vt train kernel, where samples live on the lane dim).
+        The math is elementwise, so the two layouts share the formulas."""
         raise NotImplementedError
 
     def __call__(self, prediction, target, pdf=None):
@@ -62,19 +67,21 @@ class Loss:
 
     # -- shared plumbing ----------------------------------------------------
     @staticmethod
-    def _prepare(prediction, target, pdf):
-        b, stride = prediction.shape
-        dims = target.shape[1]
-        n_total = b * dims
-        pred = prediction[:, :dims].astype(jnp.float32)
+    def _prepare(prediction, target, pdf, axis=1):
+        dims = target.shape[axis]
+        n_total = target.size  # b * dims, layout-independent
+        pred = (
+            prediction[:, :dims] if axis == 1 else prediction[:dims, :]
+        ).astype(jnp.float32)
         pdf = jnp.ones_like(target) if pdf is None else pdf
         return pred, target.astype(jnp.float32), pdf.astype(jnp.float32), n_total
 
     @staticmethod
-    def _pad(arr, stride):
-        dims = arr.shape[1]
+    def _pad(arr, stride, axis=1):
+        dims = arr.shape[axis]
         if stride > dims:
-            arr = jnp.pad(arr, ((0, 0), (0, stride - dims)))
+            pad = (0, stride - dims)
+            arr = jnp.pad(arr, ((0, 0), pad) if axis == 1 else (pad, (0, 0)))
         return arr
 
 
@@ -104,26 +111,28 @@ _loss_values.defvjp(_loss_values_fwd, _loss_values_bwd)
 class L2Loss(Loss):
     otype = "L2"
 
-    def value_and_grad_fn(self, prediction, target, pdf):
-        pred, tgt, pdf, n = self._prepare(prediction, target, pdf)
+    def value_and_grad_fn(self, prediction, target, pdf, dims_axis=1):
+        pred, tgt, pdf, n = self._prepare(prediction, target, pdf, dims_axis)
         diff = pred - tgt
         values = diff * diff / pdf / n
         grad = 2.0 * diff / pdf / n
-        s = prediction.shape[1]
-        return self._pad(values, s), self._pad(grad, s)
+        s = prediction.shape[dims_axis]
+        return (self._pad(values, s, dims_axis),
+                self._pad(grad, s, dims_axis))
 
 
 class RelativeL2Loss(Loss):
     otype = "RelativeL2"
 
-    def value_and_grad_fn(self, prediction, target, pdf):
-        pred, tgt, pdf, n = self._prepare(prediction, target, pdf)
+    def value_and_grad_fn(self, prediction, target, pdf, dims_axis=1):
+        pred, tgt, pdf, n = self._prepare(prediction, target, pdf, dims_axis)
         diff = pred - tgt
         denom = pred * pred + 0.01
         values = diff * diff / denom / pdf / n
         grad = 2.0 * diff / denom / pdf / n
-        s = prediction.shape[1]
-        return self._pad(values, s), self._pad(grad, s)
+        s = prediction.shape[dims_axis]
+        return (self._pad(values, s, dims_axis),
+                self._pad(grad, s, dims_axis))
 
 
 class RelativeL2LuminanceLoss(Loss):
@@ -135,92 +144,99 @@ class RelativeL2LuminanceLoss(Loss):
 
     otype = "RelativeL2Luminance"
 
-    def value_and_grad_fn(self, prediction, target, pdf):
-        pred, tgt, pdf, n = self._prepare(prediction, target, pdf)
-        lum = (
-            0.299 * pred[:, 0] + 0.587 * pred[:, 1] + 0.114 * pred[:, 2]
-        )[:, None]
+    def value_and_grad_fn(self, prediction, target, pdf, dims_axis=1):
+        pred, tgt, pdf, n = self._prepare(prediction, target, pdf, dims_axis)
+        ch = (lambda i: pred[:, i]) if dims_axis == 1 else (lambda i: pred[i, :])
+        lum = 0.299 * ch(0) + 0.587 * ch(1) + 0.114 * ch(2)
+        lum = lum[:, None] if dims_axis == 1 else lum[None, :]
         denom = lum * lum + 0.01
         diff = pred - tgt
         values = diff * diff / denom / pdf / n
         grad = 2.0 * diff / denom / pdf / n
-        s = prediction.shape[1]
-        return self._pad(values, s), self._pad(grad, s)
+        s = prediction.shape[dims_axis]
+        return (self._pad(values, s, dims_axis),
+                self._pad(grad, s, dims_axis))
 
 
 class L1Loss(Loss):
     otype = "L1"
 
-    def value_and_grad_fn(self, prediction, target, pdf):
-        pred, tgt, pdf, n = self._prepare(prediction, target, pdf)
+    def value_and_grad_fn(self, prediction, target, pdf, dims_axis=1):
+        pred, tgt, pdf, n = self._prepare(prediction, target, pdf, dims_axis)
         diff = pred - tgt
         values = jnp.abs(diff) / pdf / n
         grad = jnp.sign(diff) / pdf / n
-        s = prediction.shape[1]
-        return self._pad(values, s), self._pad(grad, s)
+        s = prediction.shape[dims_axis]
+        return (self._pad(values, s, dims_axis),
+                self._pad(grad, s, dims_axis))
 
 
 class RelativeL1Loss(Loss):
     otype = "RelativeL1"
 
-    def value_and_grad_fn(self, prediction, target, pdf):
-        pred, tgt, pdf, n = self._prepare(prediction, target, pdf)
+    def value_and_grad_fn(self, prediction, target, pdf, dims_axis=1):
+        pred, tgt, pdf, n = self._prepare(prediction, target, pdf, dims_axis)
         diff = pred - tgt
         scale = 1.0 / (jnp.abs(pred) + 1e-2) / pdf
         values = jnp.abs(diff) * scale / n
         grad = jnp.sign(diff) * scale / n
-        s = prediction.shape[1]
-        return self._pad(values, s), self._pad(grad, s)
+        s = prediction.shape[dims_axis]
+        return (self._pad(values, s, dims_axis),
+                self._pad(grad, s, dims_axis))
 
 
 class MapeLoss(Loss):
     otype = "MAPE"
 
-    def value_and_grad_fn(self, prediction, target, pdf):
-        pred, tgt, pdf, n = self._prepare(prediction, target, pdf)
+    def value_and_grad_fn(self, prediction, target, pdf, dims_axis=1):
+        pred, tgt, pdf, n = self._prepare(prediction, target, pdf, dims_axis)
         diff = pred - tgt
         scale = 1.0 / (jnp.abs(tgt) + 1e-2) / pdf
         values = jnp.abs(diff) * scale / n
         grad = jnp.sign(diff) * scale / n
-        s = prediction.shape[1]
-        return self._pad(values, s), self._pad(grad, s)
+        s = prediction.shape[dims_axis]
+        return (self._pad(values, s, dims_axis),
+                self._pad(grad, s, dims_axis))
 
 
 class SmapeLoss(Loss):
     otype = "SMAPE"
 
-    def value_and_grad_fn(self, prediction, target, pdf):
-        pred, tgt, pdf, n = self._prepare(prediction, target, pdf)
+    def value_and_grad_fn(self, prediction, target, pdf, dims_axis=1):
+        pred, tgt, pdf, n = self._prepare(prediction, target, pdf, dims_axis)
         diff = pred - tgt
         scale = 1.0 / (0.5 * (jnp.abs(tgt) + jnp.abs(pred)) + 1e-2) / pdf
         values = jnp.abs(diff) * scale / n
         grad = jnp.sign(diff) * scale / n
-        s = prediction.shape[1]
-        return self._pad(values, s), self._pad(grad, s)
+        s = prediction.shape[dims_axis]
+        return (self._pad(values, s, dims_axis),
+                self._pad(grad, s, dims_axis))
 
 
 class CrossEntropyLoss(Loss):
     otype = "CrossEntropy"
 
-    def value_and_grad_fn(self, prediction, target, pdf):
-        pred, tgt, pdf, n = self._prepare(prediction, target, pdf)
+    def value_and_grad_fn(self, prediction, target, pdf, dims_axis=1):
+        pred, tgt, pdf, n = self._prepare(prediction, target, pdf, dims_axis)
         factor = -tgt / pdf / n
         values = factor * jnp.log(pred)
         grad = factor / pred  # cross_entropy.h:73 (factor already carries /n)
-        s = prediction.shape[1]
-        return self._pad(values, s), self._pad(grad, s)
+        s = prediction.shape[dims_axis]
+        return (self._pad(values, s, dims_axis),
+                self._pad(grad, s, dims_axis))
 
 
 class VarianceIsLoss(Loss):
     otype = "Variance"
 
-    def value_and_grad_fn(self, prediction, target, pdf):
-        pred, tgt, pdf, n = self._prepare(prediction, target, pdf)
+    def value_and_grad_fn(self, prediction, target, pdf, dims_axis=1):
+        pred, tgt, pdf, n = self._prepare(prediction, target, pdf, dims_axis)
         factor = tgt * tgt / pdf / n
         values = factor / pred - factor / pdf
         grad = -factor / (pred * pred)
-        s = prediction.shape[1]
-        return self._pad(values, s), self._pad(grad, s)
+        s = prediction.shape[dims_axis]
+        return (self._pad(values, s, dims_axis),
+                self._pad(grad, s, dims_axis))
 
 
 class ConstantLoss(Loss):
@@ -228,6 +244,6 @@ class ConstantLoss(Loss):
 
     otype = "Constant"
 
-    def value_and_grad_fn(self, prediction, target, pdf):
+    def value_and_grad_fn(self, prediction, target, pdf, dims_axis=1):
         z = jnp.zeros(prediction.shape, dtype=jnp.float32)
         return z, z

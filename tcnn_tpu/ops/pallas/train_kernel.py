@@ -66,7 +66,12 @@ RECOMPUTE_MASKS = False
 #:           lane-masked gather block (exact bf16 table entries) hits a
 #:           [128F, F*L] selection matmul accumulated into [C*Nt, F*L] -
 #:           no thin-column reduces or lane concats at all.
-#: All three are mathematically identical (same products, same sums).
+#:   "vt"    the TRANSPOSED kernel (round 4): samples on the lane dim
+#:           throughout, G levels per pick matmul (full-M MXU), sublane
+#:           concats/broadcasts instead of lane relayouts. Measured
+#:           31.8 -> 24.2 ms on the config_hash b=2^18 fused step (v5e).
+#:           Downgrades to v3b for stochastic/Rng configs.
+#: All variants are mathematically identical (same products, same sums).
 PICK_VARIANT = "base"
 #: batch tile for the forward-only fused kernel (fused_forward). 0 = use
 #: plan.batch_tile. The inference kernel has no scatter/cached-mask VMEM,
@@ -82,6 +87,34 @@ INFER_VARIANT = ""
 #: These module globals are the process-wide defaults; a per-model
 #: override travels as Trainer.schedule (ops.pallas.schedule.Schedule),
 #: which the Trainer applies around its traced calls.
+
+#: PROFILING ONLY (scripts/ablate_kernel_phases.py): truncate the fused
+#: train kernel after a phase, writing a value-dependent scalar so Mosaic
+#: cannot DCE the work. Stages (each includes the previous):
+#:   "index"  shared index math (cells/hi/lo/cw)
+#:   "masks"  + mask_all + every level's (oh, ohlo) build
+#:   "gather" + the per-level gather matmuls
+#:   "pick"   + lane pick -> enc
+#:   "mlpfwd" + MLP forward
+#:   "lossg"  + loss value/cotangent
+#:   "mlpbwd" + MLP backward (wgrads written) -> genc; NO grid scatter
+#:   ""       full kernel (production)
+#: Output values are garbage for any non-"" setting.
+ABLATE = ""
+
+#: vt one-hot build form: "bcast" (sublane-broadcast hi row + sublane
+#: iota + compare) or "mm" (Eh block-indicator matmul + compare against a
+#: per-row constant - moves the expansion onto the MXU). MEASURED on v5e:
+#: mm LOSES 24.2 -> 32.6 ms (the bcast build pipelines under the gather
+#: matmuls; the extra matmul does not). Default stays "bcast".
+VT_OH = "bcast"
+
+#: vt pick form: "sum" (per-(f,l) SUBLANE reduction of the masked gather
+#: block - in the transposed layout the pick reduce runs over sublanes,
+#: which the VPU does at full throughput, unlike the row-major layout's
+#: lane reduces) or "mm" (S-selection matmul). MEASURED on v5e
+#: (config_hash b=2^18, div=2): sum 22.87 ms vs mm 24.20 -> default sum.
+VT_PICK = "sum"
 
 
 def _fused_plan_for(model):
@@ -151,7 +184,7 @@ def supported(model, loss, perturbation_sigma: float = 0.0) -> bool:
     # v3b materializes lo_b [C*Nt, 128L] f32 AND the i1 mask_all (Mosaic
     # lays i1 out in 32-bit lanes): 8 bytes/elem while both are live
     mask_all_bytes = (
-        8 * c_nt * 128 * plan.n_levels if variant == "v3b" else 0
+        8 * c_nt * 128 * plan.n_levels if variant in ("v3b", "vt") else 0
     )
     est = mask_bytes + _table_bytes(plan) + gtable_bytes + mask_all_bytes
     return est < 70 * 1024 * 1024
@@ -179,7 +212,7 @@ def supported_infer(model) -> bool:
     # v3b: lo_b f32 + i1 mask_all (32-bit lanes) live together, plus the
     # picked accumulator
     mask_all_bytes = (
-        8 * c_nt * 128 * plan.n_levels if variant == "v3b" else 0
+        8 * c_nt * 128 * plan.n_levels if variant in ("v3b", "vt") else 0
     )
     picked_bytes = c_nt * plan.f * plan.n_levels * 4
     est = (_transient_mask_bytes(plan, c_nt) + idx_bytes
@@ -191,13 +224,18 @@ def _resolve_variant(plan, infer: bool = False) -> str:
     """The pick variant actually used for this plan: Nearest has no
     interpolation weights, so the weight-at-the-end variants reduce to
     base (and the wrapper must agree with the kernel on the enc layout).
-    The forward-only kernel (infer=True) uses INFER_VARIANT when set."""
+    The forward-only kernel (infer=True) uses INFER_VARIANT when set.
+    "vt" (the transposed kernel) covers the standard interpolated dense
+    path; stochastic and precomputed-hash configs downgrade to v3b (their
+    row-major machinery), keeping every config on a fused kernel."""
     from ...common import InterpolationType
 
     if plan.interpolation == InterpolationType.Nearest:
         return "base"
     v = (INFER_VARIANT or PICK_VARIANT) if infer else PICK_VARIANT
-    if v not in ("base", "cwend", "v3b"):
+    if v == "vt" and (plan.stochastic or plan.ext_hash):
+        return "v3b"
+    if v not in ("base", "cwend", "v3b", "vt"):
         raise ValueError(f"unknown PICK_VARIANT {v!r}")
     return v
 
@@ -292,6 +330,415 @@ def _v3b_pick(picked_acc, g, ohlo, s_ref, l, F):
     )
 
 
+# ---------------------------------------------------------------------------
+# "vt" - the transposed kernel. Samples live on the LANE dimension
+# ([rows, C*Nt] everywhere), which fixes the two dominant costs of the
+# row-major variants (measured, scripts/ablate_kernel_phases.py v3b@256:
+# pick +9.8 ms, scatter +10.2 ms of a 31.7 ms step):
+#   - the pick matmul becomes dot(S_l^T-contraction, gm^T) -> [F*L, C*Nt]:
+#     full 128-lane output instead of an F*L(=32)-wide result padded to
+#     128 lanes (4x MXU waste), and the per-level F-loop of lane selects
+#     collapses to one sublane-tiled select;
+#   - the scatter rhs build replaces per-level thin-column LANE broadcasts
+#     + lane concats (relayouts) with sublane broadcasts + free sublane
+#     concats; the scatter matmul contracts the lane dim of both operands.
+# The MLP runs transposed ([width, Nt]) so no transposes appear anywhere
+# inside the kernel; x/targets/noise/pdf arrive pre-transposed from the
+# wrapper (one cheap XLA transpose per batch, outside the kernel).
+# ---------------------------------------------------------------------------
+
+
+def _plan_constants_vt(plan):
+    """gk._plan_constants transposed: [1, N] rows -> [N, 1] columns,
+    corner_bits [C, D*L] -> [D*L, C]."""
+    consts = gk._plan_constants(plan)
+    return {name: consts[name].T for name in gk._CONST_NAMES}
+
+
+def _pick_group(plan, n_active):
+    """Levels per pick matmul. In theory the selection matmul's M = F*L
+    < 128 wastes MXU output rows and packing G = 128 // (F*L) levels per
+    matmul should win; MEASURED on v5e (config_hash b=2^18) G=4 LOSES
+    badly (24.2 -> 33.2 ms/step): the [G*128F, cnt] gm concat is a real
+    sublane copy and buffering G gm blocks breaks the build-under-matmul
+    pipelining. G=1 stays until a zero-copy chunk layout exists."""
+    return 1
+
+
+def _pick_consts_vt(plan, active):
+    """vt constant operands: E bf16 [L, 128L] (reused as the mask-expansion
+    LHS via a dim-0 contraction), iota_col f32 [128L, 1] (j % 128 per row),
+    S2 bf16 [len(active)*128F, G*F*L]: the selection matrix packed G
+    active levels per chunk - row block i (i = position in `active`)
+    carries level active[i]'s S_l placed at column block (i % G), so one
+    [G*128F, cnt] matmul picks G levels into disjoint row groups of a
+    [G*F*L(=128), cnt] accumulator (summed into [F*L, cnt] afterwards)."""
+    import numpy as np
+
+    e, iota, _ = _pick_consts(plan)
+    L, F = plan.n_levels, plan.f
+    G = _pick_group(plan, len(active))
+    s2 = np.zeros((len(active) * LANE * F, G * F * L), np.float32)
+    for i, l in enumerate(active):
+        k = i % G
+        for f in range(F):
+            rows = slice(i * LANE * F + f * LANE, i * LANE * F + (f + 1) * LANE)
+            s2[rows, k * F * L + f * L + l] = 1.0
+    # oh-build operands (VT_OH == "mm"): Eh [h_total, L] level-block
+    # indicator, iota_rows [h_total, 1] = row index within the level
+    eh = np.zeros((plan.h_total, L), np.float32)
+    iota_rows = np.zeros((plan.h_total, 1), np.float32)
+    for l, level in enumerate(plan.levels):
+        eh[level.row_off : level.row_off + level.h, l] = 1.0
+        iota_rows[level.row_off : level.row_off + level.h, 0] = np.arange(
+            level.h
+        )
+    return (
+        e,
+        iota.T,
+        jnp.asarray(s2, jnp.bfloat16),
+        jnp.asarray(eh, jnp.bfloat16),
+        jnp.asarray(iota_rows, jnp.float32),
+    )
+
+
+def _index_math_vt(plan, xT, cr):
+    """xT [D, nt] -> (hiT, loT, cwT) i32/i32/f32 [L, C*nt]: the transposed
+    mirror of gk._stacked_hi_lo_w_v2 (same wide-op structure; corners are
+    LANE-stacked blocks, constants are [N, 1] columns broadcast over
+    lanes). Only the standard interpolated path (no Nearest, no ext hash -
+    _resolve_variant downgrades those)."""
+    from ...common import InterpolationType, smoothstep
+
+    L, D, C = plan.n_levels, plan.d, plan.n_corners
+    nt = xT.shape[1]
+
+    # [D*L, nt]: row d*L+l carries dim d of level l (sublane replication)
+    xx = jnp.concatenate(
+        [jnp.broadcast_to(xT[d : d + 1, :], (L, nt)) for d in range(D)],
+        axis=0,
+    )
+    pos = xx * cr["scales"] + 0.5
+    cell_f = jnp.floor(pos)
+    fract = pos - cell_f
+    cells = cell_f.astype(jnp.int32)
+    w = (
+        smoothstep(fract)
+        if plan.interpolation == InterpolationType.Smoothstep
+        else fract
+    )
+
+    cells_s = jnp.concatenate([cells] * C, axis=1)  # [D*L, C*nt]
+    w_s = jnp.concatenate([w] * C, axis=1)
+    cb = cr["corner_bits"]  # [D*L, C]
+    bits = jnp.concatenate(
+        [jnp.broadcast_to(cb[:, c : c + 1], (D * L, nt)) for c in range(C)],
+        axis=1,
+    )
+
+    cc = cells_s + bits
+    dmul = cc * cr["strides"]
+    hmul = cc * cr["factors"]
+    csum = dmul[:L, :]
+    hxor = hmul[:L, :]
+    for d in range(1, D):
+        csum = csum + dmul[d * L : (d + 1) * L, :]
+        hxor = hxor ^ hmul[d * L : (d + 1) * L, :]
+    term = (1.0 - w_s) + bits.astype(jnp.float32) * (2.0 * w_s - 1.0)
+    cw = term[:L, :]
+    for d in range(1, D):
+        cw = cw * term[d * L : (d + 1) * L, :]
+
+    raw = jnp.where(cr["hash_mask"] == 1, hxor, csum)  # [L, C*nt]
+    idx_and = raw & cr["size_m1"]
+    fraw = raw.astype(jnp.float32)
+    idx_fmod = (
+        fraw - jnp.floor(fraw / cr["size_f"]) * cr["size_f"]
+    ).astype(jnp.int32)
+    idx = jnp.where(cr["pow2_mask"] == 1, idx_and, idx_fmod)
+    return idx >> 7, idx & (LANE - 1), cw
+
+
+def _kernel_vt(
+    xT_ref,
+    tT_ref,
+    table_ref,
+    e_ref,
+    iota_col_ref,
+    s_ref,
+    eh_ref,
+    iota_rows_ref,
+    *rest,
+    plan,
+    mlp,
+    loss,
+    loss_scale,
+    n_weights,
+    enc_pad,
+    n_valid,
+    max_level,
+    has_pdf,
+    has_noise,
+    has_ext_dl,
+    recompute,
+    ablate="",
+):
+    n_w = n_weights
+    const_refs = rest[: len(gk._CONST_NAMES)]
+    w_refs = rest[len(gk._CONST_NAMES) : len(gk._CONST_NAMES) + n_w]
+    pos = len(gk._CONST_NAMES) + n_w
+    pdf_ref = None
+    if has_pdf:
+        pdf_ref = rest[pos]
+        pos += 1
+    noise_ref = None
+    if has_noise:
+        noise_ref = rest[pos]
+        pos += 1
+    out_refs = rest[pos:]
+    gtable_ref = out_refs[0]
+    gw_refs = out_refs[1 : 1 + n_w]
+    loss_ref = out_refs[1 + n_w]
+
+    def _truncate(dep):
+        # FULL reduction: a slice dep lets Mosaic shrink the stage's
+        # matmuls (see the row-major twin's docstring)
+        loss_ref[0, 0] = loss_ref[0, 0] + jnp.sum(dep) * 1e-30
+
+    cr = {name: ref[:] for name, ref in zip(gk._CONST_NAMES, const_refs)}
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        gtable_ref[:] = jnp.zeros_like(gtable_ref)
+        for gw in gw_refs:
+            gw[:] = jnp.zeros_like(gw)
+        loss_ref[0, 0] = jnp.float32(0.0)
+
+    xT = xT_ref[:]
+    nt = xT.shape[1]
+    F, C, L = plan.f, plan.n_corners, plan.n_levels
+    cnt = C * nt
+
+    hiT, loT, cwT = _index_math_vt(plan, xT, cr)
+    if ablate == "index":
+        _truncate(hiT.astype(jnp.float32) + loT.astype(jnp.float32) + cwT)
+        return
+
+    # lane masks for ALL levels: [128L, C*nt] bool (rows l*128 + j)
+    lo_bT = jax.lax.dot_general(
+        e_ref[:], loT.astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    mask_allT = lo_bT == iota_col_ref[:]
+
+    def _build(l, level):
+        """One level's transposed one-hot [h, C*nt] bf16 (the VT_OH forms
+        produce identical values: hi < h <= 2^15 is bf16/f32-exact)."""
+        sl = slice(level.row_off, level.row_off + level.h)
+        if VT_OH == "mm":
+            hi_exp = jax.lax.dot_general(
+                eh_ref[sl, :], hiT.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return (hi_exp == iota_rows_ref[sl, :]).astype(jnp.bfloat16)
+        hr = jnp.broadcast_to(hiT[l : l + 1, :], (level.h, cnt))
+        return (
+            hr == jax.lax.broadcasted_iota(jnp.int32, (level.h, cnt), 0)
+        ).astype(jnp.bfloat16)
+
+    active = [
+        l for l, _ in enumerate(plan.levels)
+        if _level_active(plan, l, max_level)
+    ]
+    if ablate == "masks":
+        dep = jnp.zeros((), jnp.float32)
+        for l in active:
+            dep = dep + jnp.sum(_build(l, plan.levels[l]).astype(jnp.float32))
+        _truncate(dep + jnp.sum(mask_allT.astype(jnp.float32)))
+        return
+
+    # ---- gather + pick ------------------------------------------------------
+    # G active levels share one selection matmul (M = G*F*L -> 128: full
+    # MXU output rows; a single level's M = F*L wastes 1 - F*L/128 of the
+    # array) - see _pick_consts_vt
+    G = _pick_group(plan, len(active))
+    ohTs = [None] * L
+    picked_big = jnp.zeros((G * F * L, cnt), jnp.float32)
+    built = {}
+    if active:
+        built[active[0]] = _build(active[0], plan.levels[active[0]])
+    abl_dep = None
+    chunk_gm = []
+    pick_rows = {}
+    for i, l in enumerate(active):
+        if i + 1 < len(active):
+            nl = active[i + 1]
+            built[nl] = _build(nl, plan.levels[nl])
+        ohT = built.pop(l)
+        level = plan.levels[l]
+        keep = not recompute
+        ohTs[l] = ohT if keep else None
+        tbl = table_ref[level.row_off : level.row_off + level.h, :]
+        # gT [128F, C*nt] f32: features on sublanes, samples on lanes
+        gT = jax.lax.dot_general(
+            tbl, ohT,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if ablate == "gather":
+            abl_dep = jnp.sum(gT) + (abl_dep if abl_dep is not None else 0.0)
+            continue
+        maskl = mask_allT[l * LANE : (l + 1) * LANE, :]
+        if VT_PICK == "sum":
+            # sublane reduction pick: full-throughput on the VPU in this
+            # layout (the row-major twin's lane reduce was the +7.6 ms
+            # cost v3b existed to avoid)
+            for f in range(F):
+                gm_f = jnp.where(maskl, gT[f * LANE : (f + 1) * LANE, :], 0.0)
+                pick_rows[f * L + l] = jnp.sum(gm_f, axis=0, keepdims=True)
+            continue
+        mask2 = jnp.concatenate([maskl] * F, axis=0)  # free sublane concat
+        chunk_gm.append(jnp.where(mask2, gT, 0.0).astype(jnp.bfloat16))
+        if len(chunk_gm) == G or i == len(active) - 1:
+            i0 = i + 1 - len(chunk_gm)
+            gm_chunk = (
+                jnp.concatenate(chunk_gm, axis=0)
+                if len(chunk_gm) > 1
+                else chunk_gm[0]
+            )
+            picked_big = picked_big + jax.lax.dot_general(
+                s_ref[i0 * LANE * F : (i + 1) * LANE * F, :], gm_chunk,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            chunk_gm = []
+    if ablate == "gather":
+        _truncate(abl_dep)
+        return
+    if VT_PICK == "sum":
+        zrow = jnp.zeros((1, cnt), jnp.float32)
+        picked_t = jnp.concatenate(
+            [pick_rows.get(r, zrow) for r in range(F * L)], axis=0
+        )
+    else:
+        picked_t = picked_big[: F * L, :]
+        for k in range(1, G):
+            picked_t = picked_t + picked_big[k * F * L : (k + 1) * F * L, :]
+
+    cw_exp = jnp.concatenate([cwT] * F, axis=0)  # [F*L, C*nt], rows f*L+l
+    picked_t = picked_t * cw_exp
+    # corner reduction on vreg-aligned lane slices
+    encT = picked_t[:, :nt]
+    for c in range(1, C):
+        encT = encT + picked_t[:, c * nt : (c + 1) * nt]
+    if enc_pad:
+        encT = jnp.concatenate(
+            [encT, jnp.zeros((enc_pad, nt), encT.dtype)], axis=0
+        )
+    if ablate == "pick":
+        _truncate(encT)
+        return
+
+    # ---- fused MLP forward (transposed: [width, Nt]) ------------------------
+    hT = encT.astype(jnp.bfloat16)
+    hsT = [hT]
+    for i in range(n_w):
+        zT = jax.lax.dot_general(
+            w_refs[i][:], hT,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        act = mlp.output_activation if i == n_w - 1 else mlp.activation
+        hT = activation_fn(zT, act).astype(jnp.bfloat16)
+        hsT.append(hT)
+    if ablate == "mlpfwd":
+        _truncate(hsT[-1].astype(jnp.float32))
+        return
+
+    if has_ext_dl:
+        gT = tT_ref[:].astype(jnp.float32)
+        loss_ref[0, 0] = jnp.float32(0.0)
+    else:
+        predT = hsT[-1].astype(jnp.float32)  # [out_pad, Nt]
+        if noise_ref is not None:
+            predT = predT + noise_ref[:].astype(jnp.float32)
+        targetsT = tT_ref[:].astype(jnp.float32)
+        pdfT = (
+            pdf_ref[:].astype(jnp.float32)
+            if pdf_ref is not None
+            else jnp.ones_like(targetsT)
+        )
+        values, grad = loss.value_and_grad_fn(
+            predT, targetsT, pdfT, dims_axis=0
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, nt), 1)
+        valid = (col + pl.program_id(0) * nt < n_valid).astype(jnp.float32)
+        values = values * valid
+        grad = grad * valid
+        loss_ref[0, 0] = loss_ref[0, 0] + jnp.sum(values)
+        gT = grad * loss_scale  # [out_pad, Nt] f32
+    if ablate == "lossg":
+        _truncate(gT)
+        return
+
+    # ---- fused MLP backward (transposed) ------------------------------------
+    for i in reversed(range(n_w)):
+        act = mlp.output_activation if i == n_w - 1 else mlp.activation
+        gT = activation_bwd_out(gT, hsT[i + 1].astype(jnp.float32), act)
+        gw_refs[i][:] = gw_refs[i][:] + jax.lax.dot_general(
+            hsT[i].astype(jnp.float32), gT,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        gT = jax.lax.dot_general(
+            w_refs[i][:].astype(jnp.float32), gT,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    gencT = gT[: L * F, :]  # [F*L, Nt]
+    if ablate == "mlpbwd":
+        _truncate(gencT)
+        return
+
+    # cotangent tiled over corners with the weights folded in (reuses
+    # cw_exp): [F*L, C*nt]
+    gy_all = jnp.concatenate([gencT] * C, axis=1) * cw_exp
+
+    # ---- grid scatter --------------------------------------------------------
+    def _scatter_operands(l):
+        ohT_l = ohTs[l] if ohTs[l] is not None else _build(l, plan.levels[l])
+        # rhsT [128F, C*nt]: row f*128+j holds gy(f, l) broadcast over the
+        # 128 lane-rows (sublane broadcast), masked to the pick lane
+        maskl = mask_allT[l * LANE : (l + 1) * LANE, :]
+        rhs_rows = []
+        for f in range(F):
+            grow = gy_all[f * L + l : f * L + l + 1, :]
+            rhs_rows.append(
+                jnp.where(maskl, jnp.broadcast_to(grow, (LANE, cnt)), 0.0)
+            )
+        return ohT_l, jnp.concatenate(rhs_rows, axis=0).astype(jnp.bfloat16)
+
+    pend = {}
+    if active:
+        pend[active[0]] = _scatter_operands(active[0])
+    for i, l in enumerate(active):
+        if i + 1 < len(active):
+            nl = active[i + 1]
+            pend[nl] = _scatter_operands(nl)
+        ohT_l, rhsT = pend.pop(l)
+        level = plan.levels[l]
+        contrib = jax.lax.dot_general(
+            ohT_l, rhsT,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        sl = slice(level.row_off, level.row_off + level.h)
+        gtable_ref[sl, :] = gtable_ref[sl, :] + contrib
+
+
 def _level_active(plan, l, max_level):
     """Static coarse-to-fine gate (grid.h:69-92 semantics: level zeroed when
     level >= max_level * n_levels + 1e-3). max_level is a python float, so
@@ -320,8 +767,16 @@ def _kernel(
     has_ext_dl,
     recompute,
     variant,
+    ablate="",
 ):
     n_w = n_weights
+
+    def _truncate(dep):
+        """ABLATE exit: fold a FULL reduction of the last phase's result
+        into the loss output - a [:1,:1] slice is NOT enough (Mosaic
+        slices through elementwise chains and shrinks matmul M dims,
+        silently DCE-ing the stage under test; observed on v5e)."""
+        loss_ref[0, 0] = loss_ref[0, 0] + jnp.sum(dep) * 1e-30
     stochastic = plan.stochastic
     if variant == "v3b":
         e_ref, iota_ref, s_ref = rest[:3]
@@ -372,6 +827,12 @@ def _kernel(
     )
     hi_cl, lo_cl, cw_cl = gk._stacked_hi_lo_w_v2(plan, cells, w, cr,
                                                  ext=ext_s)
+    if ablate == "index":
+        _truncate(
+            hi_cl.astype(jnp.float32) + lo_cl.astype(jnp.float32)
+            + (cw_cl if cw_cl is not None else 0.0)
+        )
+        return
 
     # v3b: lane masks for ALL levels at once, instead of L thin-column
     # broadcasts
@@ -401,8 +862,18 @@ def _kernel(
         l for l, _ in enumerate(plan.levels)
         if _level_active(plan, l, max_level)
     ]
+    if ablate == "masks":
+        dep = jnp.zeros((), jnp.float32)
+        for l in active:
+            oh, ohlo = _build(l, plan.levels[l])
+            dep = dep + jnp.sum(oh.astype(jnp.float32)) + jnp.sum(
+                ohlo.astype(jnp.float32)
+            )
+        _truncate(dep)
+        return
     if active:
         built[active[0]] = _build(active[0], plan.levels[active[0]])
+    abl_dep = None
     for i, l in enumerate(active):
         if i + 1 < len(active):
             nl = active[i + 1]
@@ -414,6 +885,12 @@ def _kernel(
         ohlo_ws[l] = ohlo if keep else None
         tbl = table_ref[level.row_off : level.row_off + level.h, :]
         g = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)
+        if ablate == "gather":
+            ohd = jnp.sum(ohlo.astype(jnp.float32))
+            abl_dep = jnp.sum(g) + ohd + (
+                abl_dep if abl_dep is not None else 0.0
+            )
+            continue
         if variant == "v3b":
             picked_acc = _v3b_pick(picked_acc, g, ohlo, s_ref, l, F)
         else:
@@ -423,6 +900,9 @@ def _kernel(
                     axis=1,
                     keepdims=True,
                 )
+    if ablate == "gather":
+        _truncate(abl_dep)
+        return
 
     fm = variant != "base"  # f-major (f*L + l) enc columns in-kernel
     if variant == "v3b":
@@ -449,6 +929,9 @@ def _kernel(
         enc = jnp.concatenate(
             [enc, jnp.zeros((nt, enc_pad), enc.dtype)], axis=1
         )
+    if ablate == "pick":
+        _truncate(enc)
+        return
 
     # ---- fused MLP forward --------------------------------------------------
     h = enc.astype(jnp.bfloat16)
@@ -458,6 +941,9 @@ def _kernel(
         act = mlp.output_activation if i == n_w - 1 else mlp.activation
         h = activation_fn(z, act).astype(jnp.bfloat16)
         hs.append(h)
+    if ablate == "mlpfwd":
+        _truncate(hs[-1].astype(jnp.float32))
+        return
 
     if has_ext_dl:
         # external dL_doutput mode (trainer.h:127-131): the caller supplies
@@ -486,6 +972,9 @@ def _kernel(
         grad = grad * valid
         loss_ref[0, 0] = loss_ref[0, 0] + jnp.sum(values)
         g = grad * loss_scale  # [Nt, out_pad] f32
+    if ablate == "lossg":
+        _truncate(g)
+        return
 
     # ---- fused MLP backward -------------------------------------------------
     # the MLP matmuls are tiny next to the grid's (64-wide vs table-sized),
@@ -509,6 +998,9 @@ def _kernel(
         )
 
     genc = g[:, : L * F]  # [Nt, L*F] f32 (drop the zero-pad columns)
+    if ablate == "mlpbwd":
+        _truncate(genc)
+        return
 
     if stochastic:
         # single-corner scatter (grid.h:284-299): chosen-corner index with
@@ -701,6 +1193,109 @@ def _infer_kernel(x_ref, table_ref, *rest, plan, mlp, n_weights, enc_pad,
     y_ref[:] = h.astype(y_ref.dtype)
 
 
+def _infer_kernel_vt(xT_ref, table_ref, e_ref, iota_col_ref, s_ref,
+                     eh_ref, iota_rows_ref, *rest,
+                     plan, mlp, n_weights, enc_pad):
+    """Transposed forward-only kernel (see _kernel_vt); writes yT
+    [out_pad, nt] - the wrapper transposes back outside."""
+    const_refs = rest[: len(gk._CONST_NAMES)]
+    w_refs = rest[len(gk._CONST_NAMES) : len(gk._CONST_NAMES) + n_weights]
+    y_ref = rest[len(gk._CONST_NAMES) + n_weights]
+    cr = {name: ref[:] for name, ref in zip(gk._CONST_NAMES, const_refs)}
+
+    xT = xT_ref[:]
+    nt = xT.shape[1]
+    F, C, L = plan.f, plan.n_corners, plan.n_levels
+    cnt = C * nt
+
+    hiT, loT, cwT = _index_math_vt(plan, xT, cr)
+    lo_bT = jax.lax.dot_general(
+        e_ref[:], loT.astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    mask_allT = lo_bT == iota_col_ref[:]
+
+    def _build(l, level):
+        """One level's transposed one-hot [h, C*nt] bf16 (the VT_OH forms
+        produce identical values: hi < h <= 2^15 is bf16/f32-exact)."""
+        sl = slice(level.row_off, level.row_off + level.h)
+        if VT_OH == "mm":
+            hi_exp = jax.lax.dot_general(
+                eh_ref[sl, :], hiT.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return (hi_exp == iota_rows_ref[sl, :]).astype(jnp.bfloat16)
+        hr = jnp.broadcast_to(hiT[l : l + 1, :], (level.h, cnt))
+        return (
+            hr == jax.lax.broadcasted_iota(jnp.int32, (level.h, cnt), 0)
+        ).astype(jnp.bfloat16)
+
+    G = _pick_group(plan, L)
+    picked_big = jnp.zeros((G * F * L, cnt), jnp.float32)
+    chunk_gm = []
+    pick_rows = {}
+    nxt = _build(0, plan.levels[0])
+    for l, level in enumerate(plan.levels):
+        ohT = nxt
+        if l + 1 < L:
+            nxt = _build(l + 1, plan.levels[l + 1])
+        tbl = table_ref[level.row_off : level.row_off + level.h, :]
+        gT = jax.lax.dot_general(
+            tbl, ohT,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        maskl = mask_allT[l * LANE : (l + 1) * LANE, :]
+        if VT_PICK == "sum":
+            for f in range(F):
+                gm_f = jnp.where(maskl, gT[f * LANE : (f + 1) * LANE, :], 0.0)
+                pick_rows[f * L + l] = jnp.sum(gm_f, axis=0, keepdims=True)
+            continue
+        mask2 = jnp.concatenate([maskl] * F, axis=0)
+        chunk_gm.append(jnp.where(mask2, gT, 0.0).astype(jnp.bfloat16))
+        if len(chunk_gm) == G or l == L - 1:
+            i0 = l + 1 - len(chunk_gm)
+            gm_chunk = (
+                jnp.concatenate(chunk_gm, axis=0)
+                if len(chunk_gm) > 1
+                else chunk_gm[0]
+            )
+            picked_big = picked_big + jax.lax.dot_general(
+                s_ref[i0 * LANE * F : (l + 1) * LANE * F, :], gm_chunk,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            chunk_gm = []
+    if VT_PICK == "sum":
+        picked_t = jnp.concatenate(
+            [pick_rows[r] for r in range(F * L)], axis=0
+        )
+    else:
+        picked_t = picked_big[: F * L, :]
+        for k in range(1, G):
+            picked_t = picked_t + picked_big[k * F * L : (k + 1) * F * L, :]
+    picked_t = picked_t * jnp.concatenate([cwT] * F, axis=0)
+    encT = picked_t[:, :nt]
+    for c in range(1, C):
+        encT = encT + picked_t[:, c * nt : (c + 1) * nt]
+    if enc_pad:
+        encT = jnp.concatenate(
+            [encT, jnp.zeros((enc_pad, nt), encT.dtype)], axis=0
+        )
+    hT = encT.astype(jnp.bfloat16)
+    for i in range(n_weights):
+        zT = jax.lax.dot_general(
+            w_refs[i][:], hT,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        act = mlp.output_activation if i == n_weights - 1 else mlp.activation
+        hT = activation_fn(zT, act).astype(jnp.bfloat16)
+    y_ref[:] = hT.astype(y_ref.dtype)
+
+
 def fused_forward(model, params, x):
     """Inference-only fused grid+MLP forward: [B, D] -> [B, out_pad] bf16.
     Not differentiable (use the composed path or fused_train_grads for
@@ -727,23 +1322,45 @@ def fused_forward(model, params, x):
     padded = -(-b // nt) * nt
     if padded != b:
         x = jnp.pad(x, ((0, padded - b), (0, 0)))
-    consts = gk._plan_constants(plan)
+    vt = variant == "vt"
+    consts = _plan_constants_vt(plan) if vt else gk._plan_constants(plan)
     out_w = mlp.padded_output_width
-    ext_specs, ext_args = gk._ext_specs_args(plan, x, nt=nt, stacked=True)
-    pick_args = list(_pick_consts(plan)) if variant == "v3b" else []
+    if vt:
+        x = x.T  # samples on lanes; ext_hash configs never resolve to vt
+        ext_specs, ext_args = [], []
+        pick_args = list(_pick_consts_vt(plan, list(range(plan.n_levels))))
+        kern = functools.partial(
+            _infer_kernel_vt, plan=plan, mlp=mlp, n_weights=len(wts),
+            enc_pad=enc_pad,
+        )
+        x_spec = pl.BlockSpec((x.shape[0], nt), lambda g: (0, g),
+                              memory_space=pltpu.VMEM)
+        out_specs = pl.BlockSpec((out_w, nt), lambda g: (0, g),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((out_w, padded), jnp.bfloat16)
+    else:
+        ext_specs, ext_args = gk._ext_specs_args(plan, x, nt=nt,
+                                                 stacked=True)
+        pick_args = list(_pick_consts(plan)) if variant == "v3b" else []
+        kern = functools.partial(
+            _infer_kernel, plan=plan, mlp=mlp, n_weights=len(wts),
+            enc_pad=enc_pad, variant=variant,
+        )
+        x_spec = pl.BlockSpec((nt, x.shape[1]), lambda g: (g, 0),
+                              memory_space=pltpu.VMEM)
+        out_specs = pl.BlockSpec((nt, out_w), lambda g: (g, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((padded, out_w), jnp.bfloat16)
     pick_specs = [
         pl.BlockSpec(a.shape, lambda g: (0, 0), memory_space=pltpu.VMEM)
         for a in pick_args
     ]
 
     y = pl.pallas_call(
-        functools.partial(
-            _infer_kernel, plan=plan, mlp=mlp, n_weights=len(wts),
-            enc_pad=enc_pad, variant=variant,
-        ),
+        kern,
         grid=(padded // nt,),
         in_specs=[
-            pl.BlockSpec((nt, x.shape[1]), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            x_spec,
             pl.BlockSpec(
                 (plan.h_total, LANE * plan.f),
                 lambda g: (0, 0),
@@ -757,13 +1374,11 @@ def fused_forward(model, params, x):
             pl.BlockSpec(w.shape, lambda g: (0, 0), memory_space=pltpu.VMEM)
             for w in wts
         ],
-        out_specs=pl.BlockSpec(
-            (nt, out_w), lambda g: (g, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((padded, out_w), jnp.bfloat16),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=gk._VMEM_LIMIT,
     )(x, table_packed, *pick_args, *ext_args, *gk._const_args(consts), *wts)
-    return y[:b]
+    return y.T[:b] if vt else y[:b]
 
 
 def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None,
@@ -819,11 +1434,12 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None,
         if noise is not None:
             noise = jnp.pad(noise, ((0, padded - b), (0, 0)))
 
-    consts = gk._plan_constants(plan)
+    vt = variant == "vt"
+    consts = _plan_constants_vt(plan) if vt else gk._plan_constants(plan)
     grid_steps = padded // nt
 
     kern = functools.partial(
-        _kernel,
+        _kernel_vt if vt else _kernel,
         plan=plan,
         mlp=mlp,
         loss=loss,
@@ -836,18 +1452,41 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None,
         has_noise=noise is not None,
         has_ext_dl=ext_dl,
         recompute=recompute,
-        variant=variant,
+        ablate=ABLATE,
+        **({} if vt else {"variant": variant}),
     )
 
-    pick_args = list(_pick_consts(plan)) if variant == "v3b" else []
+    if vt:
+        # samples move to the lane dim: one XLA transpose per operand
+        # OUTSIDE the kernel
+        x = x.T
+        targets = targets.T
+        if pdf is not None:
+            pdf = pdf.T
+        if noise is not None:
+            noise = noise.T
+        vt_active = [
+            l for l in range(plan.n_levels)
+            if _level_active(plan, l, max_level)
+        ]
+        pick_args = list(_pick_consts_vt(plan, vt_active))
+    else:
+        pick_args = list(_pick_consts(plan)) if variant == "v3b" else []
     pick_specs = [
         pl.BlockSpec(a.shape, lambda g: (0, 0), memory_space=pltpu.VMEM)
         for a in pick_args
     ]
+    data_spec = (
+        (lambda rows: pl.BlockSpec((rows, nt), lambda g: (0, g),
+                                   memory_space=pltpu.VMEM))
+        if vt
+        else (lambda cols: pl.BlockSpec((nt, cols), lambda g: (g, 0),
+                                        memory_space=pltpu.VMEM))
+    )
     in_specs = (
         [
-            pl.BlockSpec((nt, x.shape[1]), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nt, out_dims), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            data_spec(x.shape[0] if vt else x.shape[1]),
+            data_spec(out_dims),
             pl.BlockSpec(
                 (plan.h_total, LANE * plan.f),
                 lambda g: (0, 0),
@@ -860,12 +1499,7 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None,
             pl.BlockSpec(w.shape, lambda g: (0, 0), memory_space=pltpu.VMEM)
             for w in wts
         ]
-        + (
-            [pl.BlockSpec((nt, out_dims), lambda g: (g, 0),
-                          memory_space=pltpu.VMEM)]
-            if pdf is not None
-            else []
-        )
+        + ([data_spec(out_dims)] if pdf is not None else [])
     )
     out_specs = (
         [
@@ -893,8 +1527,7 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None,
     if noise is not None:
         extra_args.append(noise)
         in_specs = in_specs + [
-            pl.BlockSpec((nt, noise.shape[1]), lambda g: (g, 0),
-                         memory_space=pltpu.VMEM)
+            data_spec(noise.shape[0] if vt else noise.shape[1])
         ]
     if plan.stochastic:
         # per-(sample, level) corner uniforms from the SHARED helper (drawn
