@@ -210,9 +210,14 @@ def supported_infer(model) -> bool:
     # stacked index math: hi/lo i32 [C*Nt, L] + cw f32
     idx_bytes = c_nt * plan.n_levels * 4 * 3
     # v3b: lo_b f32 + i1 mask_all (32-bit lanes) live together, plus the
-    # picked accumulator
+    # picked accumulator. vt: charging the same 8 B/elem rejected tiles
+    # that MEASURABLY run (plan tile 1024 = 13.2 ms, tile 2048 runs too -
+    # scripts/probe_vt_infer.py): Mosaic frees lo_bT before the per-level
+    # consumers, so only the f32 expansion is charged.
     mask_all_bytes = (
-        8 * c_nt * 128 * plan.n_levels if variant in ("v3b", "vt") else 0
+        (8 if variant == "v3b" else 4) * c_nt * 128 * plan.n_levels
+        if variant in ("v3b", "vt")
+        else 0
     )
     picked_bytes = c_nt * plan.f * plan.n_levels * 4
     est = (_transient_mask_bytes(plan, c_nt) + idx_bytes
@@ -1296,15 +1301,15 @@ def _infer_kernel_vt(xT_ref, table_ref, e_ref, iota_col_ref, s_ref,
     y_ref[:] = hT.astype(y_ref.dtype)
 
 
-def fused_forward(model, params, x):
-    """Inference-only fused grid+MLP forward: [B, D] -> [B, out_pad] bf16.
-    Not differentiable (use the composed path or fused_train_grads for
-    gradients)."""
+def prepare_forward(model, params):
+    """Device-ready fused_forward operands: (packed table, transposed
+    bf16 weights). Splitting this from the call lets repeated inference
+    skip the per-call table repack + weight transform (~2 ms at config
+    hash scale) - the analog of the reference keeping persistent device
+    weight buffers across inference calls."""
     plan = model.encoding._kernel_plan()
     mlp = model.network
-    enc = model.encoding
     n_net = mlp.n_params
-    enc_pad = enc.padded_output_width - plan.out_width
     net_p, enc_p = params[:n_net], params[n_net:]
     table_packed = gk.repack_table(plan, enc_p)
     wts = []
@@ -1316,6 +1321,25 @@ def fused_forward(model, params, x):
     if variant != "base":
         perm, _ = _fm_row_perm(plan, int(wts[0].shape[0]))
         wts[0] = wts[0][perm, :]
+    return table_packed, tuple(wts)
+
+
+def fused_forward(model, params, x):
+    """Inference-only fused grid+MLP forward: [B, D] -> [B, out_pad] bf16.
+    Not differentiable (use the composed path or fused_train_grads for
+    gradients)."""
+    return fused_forward_prepared(model, prepare_forward(model, params), x)
+
+
+def fused_forward_prepared(model, prepared, x):
+    """fused_forward from `prepare_forward` operands (repack skipped)."""
+    plan = model.encoding._kernel_plan()
+    mlp = model.network
+    enc = model.encoding
+    enc_pad = enc.padded_output_width - plan.out_width
+    table_packed, wts = prepared
+    wts = list(wts)
+    variant = _resolve_variant(plan, infer=True)
 
     b = x.shape[0]
     nt = INFER_TILE or plan.batch_tile

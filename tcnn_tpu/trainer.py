@@ -400,15 +400,34 @@ class Trainer:
                 self._fused_infer_ok()
                 and getattr(enc, "max_level", None) is None
             ):
-                from .ops.pallas.train_kernel import fused_forward
+                from .ops.pallas.train_kernel import (
+                    fused_forward_prepared,
+                    prepare_forward,
+                )
 
+                # prepared operands (packed table + bf16 weights) are
+                # cached by params identity: repeated inference skips the
+                # per-call repack (~2 ms at config_hash); any training
+                # step replaces state["params"] (donated buffer), so the
+                # identity check invalidates exactly when needed
+                knobs = self._trace_baked_key()  # W0 perm follows variant
+                cached = getattr(self, "_infer_prepared", None)
+                if cached is None or cached[0] is not params or (
+                    cached[1] != knobs
+                ):
+                    prep = self._get_jitted(
+                        "inference_prepare",
+                        lambda p: prepare_forward(self.model, p),
+                    )(params)
+                    cached = (params, knobs, prep)
+                    self._infer_prepared = cached
                 fn = self._get_jitted(
                     "inference_fused",
-                    lambda p, i: fused_forward(self.model, p, i)[
-                        :, : self.model.n_output_dims
-                    ].astype(jnp.float32),
+                    lambda pr, i: fused_forward_prepared(
+                        self.model, pr, i
+                    )[:, : self.model.n_output_dims].astype(jnp.float32),
                 )
-                return fn(params, inputs)
+                return fn(cached[2], inputs)
             fn = self._get_jitted(
                 "inference",
                 lambda p, i: self.model.apply(
