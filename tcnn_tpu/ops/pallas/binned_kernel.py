@@ -132,7 +132,11 @@ def make_binned_plan(sub: gk.GridKernelPlan, t_rows: int) -> BinnedPlan | None:
     # 256), so r_blocks must stay <= 256: grow S with the table. S is
     # capped at 512, covering log2_hashmap_size <= 24 (the reference's
     # documented maximum, DOCUMENTATION.md); beyond that -> XLA fallback.
-    s = 128
+    # S starts at 64: the round-4 S x nt sweep (scripts/sweep_binned_a.py,
+    # T=2^19 b=2^18 on v5e) measured kernel A at 24.9/25.6/33.4/42.3 ms
+    # for S=64/128/256/512 at nt=512, full forward 98.7 -> 94.9 ms at
+    # S=64 - smaller superblocks win until r_blocks hits its ceiling.
+    s = 64
     while t_rows // (s * LANE) > 256:
         s *= 2
     if s > 512:
@@ -438,17 +442,12 @@ def _stacked_level_indices(bp: BinnedPlan, x, cr, ext=None, extw=None):
     interpolation weights; x is ignored."""
     sub = bp.sub
     if bp.ext_iw:
-        NL, C = bp.n_levels, sub.n_corners
-        idx = jnp.concatenate(
-            [
-                ext[:, c * NL : (c + 1) * NL].astype(jnp.int32)
-                for c in range(C)
-            ],
-            axis=0,
-        )  # [G, NL]
-        cw = jnp.concatenate(
-            [extw[:, c * NL : (c + 1) * NL] for c in range(C)], axis=0
-        )
+        # ext/extw arrive [C, nt, NL] (see _ext_specs_args): the
+        # corner-stack is a free leading-dim merge, not a lane-slice
+        # row-concat (the Mosaic offset-mismatch hazard)
+        NL = bp.n_levels
+        idx = ext.reshape(-1, NL).astype(jnp.int32)  # [G, NL]
+        cw = extw.reshape(-1, NL)
         return idx, cw
     cells, w = gk._positions(sub, x, cr)
     per_corner = gk._corner_indices_and_weights(sub, cells, w, cr, ext=ext)
@@ -591,17 +590,37 @@ def _bin_kernel(x_ref, *rest, bp: BinnedPlan):
     dr_ref[0, 0] = dr_ref[0, 0] + n_drop
 
 
+def _eiw3(bp: BinnedPlan, eiw):
+    """ext_iw operands in the corner-stacked [C, B, NL] kernel layout
+    (see _ext_specs_args docstring), with the per-tile BlockSpec."""
+    C, NL = bp.sub.n_corners, bp.n_levels
+    b = eiw[0].shape[0]
+    spec3 = pl.BlockSpec((C, bp.nt, NL), lambda t: (0, t, 0),
+                         memory_space=pltpu.VMEM)
+    return spec3, [a.reshape(b, C, NL).transpose(1, 0, 2) for a in eiw]
+
+
 def _ext_specs_args(bp: BinnedPlan, x, eiw=None):
     """Optional extra kernel inputs: precomputed Rng-hash values
     (ext_hash), or external (row index, weight) pairs (ext_iw mode,
-    `eiw` = (idx [B, C*NL] f32, cw [B, C*NL] f32))."""
+    `eiw` = (idx [B, C*NL] f32, cw [B, C*NL] f32)).
+
+    ext_iw operands ship CORNER-STACKED as [C, B, NL] (one cheap XLA
+    transpose out here), because slicing the flat [nt, C*NL] layout into
+    per-corner lane windows and row-concatenating them is the Mosaic
+    'offset mismatch on non-concat dimension' hazard - it compiled on the
+    round-3 stack but fails layout inference inside grad-path programs on
+    the current one (same context-dependence class as the A_LOOP modes,
+    PERF.md round 4). The [C, nt, NL] block reshapes to [C*nt, NL] freely
+    (leading-dim merge), matching the dense kernels' Rng ext layout."""
     w = bp.sub.n_corners * bp.n_levels
-    spec = pl.BlockSpec((bp.nt, w), lambda t: (t, 0),
-                        memory_space=pltpu.VMEM)
     if bp.ext_iw:
-        return [spec, spec], [eiw[0], eiw[1]]
+        spec3, args = _eiw3(bp, eiw)
+        return [spec3, spec3], args
     if not bp.sub.ext_hash:
         return [], []
+    spec = pl.BlockSpec((bp.nt, w), lambda t: (t, 0),
+                        memory_space=pltpu.VMEM)
     return [spec], [gk.compute_ext_hash(bp.sub, x)]
 
 
@@ -1748,7 +1767,7 @@ def _combine_extg_call(bp: BinnedPlan, ranks, feats, gy, eiw, want_sv=True):
     n_tiles = gy.shape[0] // bp.nt
     feats_t = jnp.swapaxes(feats, 0, 1)  # [n_tiles, NL*S, F*cap]
     NL, S, cap, F, G = bp.n_levels, bp.s, bp.cap, bp.f, bp.g
-    w = bp.sub.n_corners * NL
+    eiw_spec, eiw_args = _eiw3(bp, eiw)
     out_specs = [
         pl.BlockSpec((G, NL), lambda t: (t, 0), memory_space=pltpu.VMEM),
     ]
@@ -1772,15 +1791,13 @@ def _combine_extg_call(bp: BinnedPlan, ranks, feats, gy, eiw, want_sv=True):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bp.nt, NL * F), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bp.nt, w), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bp.nt, w), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
+            eiw_spec,
+            eiw_spec,
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=gk._VMEM_LIMIT,
-    )(ranks, feats_t, gy, eiw[0], eiw[1])
+    )(ranks, feats_t, gy, *eiw_args)
     return res if want_sv else (None, res[0])
 
 
