@@ -177,8 +177,12 @@ def test_ppng3_binned_production_shape():
         enc.apply_unpadded(params[:], x[:2048], compute_dtype=jnp.float32,
                            impl="xla")
     )
+    # measured on v5e (scripts/probe_r4_tolerances.py, b=2^16 vs the XLA
+    # oracle): max abs 4.4e-3, p99.9 abs 2.0e-3 at |y| <= 0.98 - the
+    # bf16-entry class (entries ~N(0, 0.3): 0.3 * 2^-8 per entry, summed
+    # over 8 corners). 1e-2 is a 2.3x envelope over the measured max.
     np.testing.assert_allclose(
-        np.asarray(y[:2048], np.float32), y_ref, atol=3e-2, rtol=3e-2
+        np.asarray(y[:2048], np.float32), y_ref, atol=1e-2, rtol=1e-2
     )
 
     def loss(impl):
@@ -202,9 +206,18 @@ def test_ppng3_binned_production_shape():
         assert rel < tol, rel
 
 
-def test_fused_ig_production_shape():
-    """fused_apply_ig at config_hash scale vs the composed ig route
-    (Sigmoid hidden units - see test_fused_ig.py on ReLU mask flips)."""
+@pytest.mark.parametrize("activation,tol", [("Sigmoid", 2e-2),
+                                            ("ReLU", 1e-2)])
+def test_fused_ig_production_shape(activation, tol):
+    """fused_apply_ig at config_hash scale vs the composed ig route.
+
+    ReLU (the default activation) diverges from the composed path at
+    SMALL batch via derivative mask flips (8 flips / 8192 -> ~8% rel,
+    test_fused_ig.py; the reference's own gradcheck needs nondet_tol for
+    the same class, scripts/test_grid_bwdbwd.py:124-138) - but at the
+    production batch b=2^16 the measured divergence is rel 1.7e-3 for
+    both dparams and dx (scripts/probe_r4_tolerances.py on v5e), so it
+    is pinned here at a 6x envelope."""
     import tcnn_tpu as tc
     from tcnn_tpu.ops.pallas.train_kernel import fused_apply_ig, supported_ig
 
@@ -214,7 +227,7 @@ def test_fused_ig_production_shape():
          "log2_hashmap_size": 15, "base_resolution": 16,
          "per_level_scale": 1.5},
         {"otype": "FullyFusedMLP", "n_neurons": 64, "n_hidden_layers": 2,
-         "activation": "Sigmoid"},
+         "activation": activation},
     )
     model.encoding.fast_input_grads = True
     assert supported_ig(model)
@@ -249,7 +262,7 @@ def test_fused_ig_production_shape():
         rel = float(
             jnp.linalg.norm(a - b_) / (jnp.linalg.norm(b_) + 1e-12)
         )
-        assert rel < 2e-2, rel
+        assert rel < tol, rel
 
 
 def test_fused_recompute_mode_production_shape(monkeypatch):
