@@ -68,29 +68,32 @@ def bench_config(config, image, batch_sizes):
         n_iters = max(TARGET_SAMPLES // bs, 8)
         warmup = n_iters // 2
 
+        # sync via a tiny dependent D2H copy, NOT block_until_ready - the
+        # latter silently no-ops over the axon tunnel (PERF.md round-2
+        # timing-methodology note).
         state = trainer.state
         key = jax.random.PRNGKey(1337)
         state, key, loss = jstep(state, key)
-        jax.block_until_ready(loss)
+        float(loss)
         for _ in range(warmup - 1):
             state, key, loss = jstep(state, key)
-        jax.block_until_ready(loss)
+        float(loss)
         t0 = time.perf_counter()
         for _ in range(n_iters):
             state, key, loss = jstep(state, key)
-        jax.block_until_ready(loss)
+        float(loss)
         train_tp = n_iters * bs / (time.perf_counter() - t0)
 
         params = state["params"]
         key, out = jinfer(params, key)
-        jax.block_until_ready(out)
+        np.asarray(out[0, :1])
         for _ in range(warmup - 1):
             key, out = jinfer(params, key)
-        jax.block_until_ready(out)
+        np.asarray(out[0, :1])
         t0 = time.perf_counter()
         for _ in range(n_iters):
             key, out = jinfer(params, key)
-        jax.block_until_ready(out)
+        np.asarray(out[0, :1])
         infer_tp = n_iters * bs / (time.perf_counter() - t0)
 
         row = {
