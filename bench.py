@@ -94,6 +94,7 @@ def _schedule_context():
         "recompute_masks": tk.RECOMPUTE_MASKS,
         "infer_variant": tk.INFER_VARIANT or tk.PICK_VARIANT,
         "infer_tile": tk.INFER_TILE,
+        "vt_lomask": tk.VT_LOMASK,
     }
 
 
@@ -156,6 +157,7 @@ def main():
         tk.PICK_VARIANT = stored.pick_variant
         tk.INFER_VARIANT = stored.infer_variant
         tk.INFER_TILE = stored.infer_tile
+        tk.VT_LOMASK = stored.vt_lomask
         sys.stderr.write(
             f"# schedule: persisted winners for {device_kind} | {sched_key}\n"
         )
@@ -164,11 +166,11 @@ def main():
         jax.default_backend() == "tpu" or autotune == "force"
     ):
         candidates = [
-            (False, 2, "vt"),     # transposed kernel, tile 512 (r4 winner)
-            (False, 4, "vt"),     # transposed kernel, tile 256
-            (False, 4, "v3b"),    # round-3 winner (MXU lane-pick)
-            (False, 4, "base"),   # round-2 production schedule
-            (True, 2, "v3b"),     # bigger tile, masks recomputed
+            (False, 2, "vt", "bcast"),  # r4 winner: vt tile 512 + lazy masks
+            (False, 2, "vt", "mm"),     # vt tile 512, all-levels mask matmul
+            (False, 4, "vt", "bcast"),  # vt tile 256
+            (False, 4, "v3b", "mm"),    # round-3 winner (MXU lane-pick)
+            (False, 4, "base", "mm"),   # round-2 production schedule
         ]
         x_tune = jax.random.uniform(jax.random.PRNGKey(3), (BATCH_SIZE, 2))
         t_tune = sample_image_quad_packed(quad, h, w, x_tune)
@@ -176,7 +178,8 @@ def main():
         for knobs in candidates:
             if _tune_skip(f"train {knobs}"):
                 continue
-            tk.RECOMPUTE_MASKS, tk.FUSED_TILE_DIV, tk.PICK_VARIANT = knobs
+            (tk.RECOMPUTE_MASKS, tk.FUSED_TILE_DIV, tk.PICK_VARIANT,
+             tk.VT_LOMASK) = knobs
             t_cand = time.time()
             try:
                 st = jax.tree.map(jnp.copy, trainer.state)
@@ -199,9 +202,8 @@ def main():
                     f"({type(e).__name__}: {str(e).splitlines()[0][:80]})\n"
                 )
             tune_spent[0] += time.time() - t_cand
-        tk.RECOMPUTE_MASKS, tk.FUSED_TILE_DIV, tk.PICK_VARIANT = (
-            best[1] if best else (False, 4, "base")
-        )
+        (tk.RECOMPUTE_MASKS, tk.FUSED_TILE_DIV, tk.PICK_VARIANT,
+         tk.VT_LOMASK) = best[1] if best else (False, 4, "base", "bcast")
         sys.stderr.write(f"# autotune picked {best[1] if best else 'default'}\n")
     train_schedule = _schedule_context()  # before the inference re-tune
 
@@ -308,7 +310,7 @@ def main():
         # probe) - re-enable per device kind if a future chip/toolchain
         # lifts that.
         best_tile = (best_inf[0] if best_inf else 1e9, 0)
-        for tile in (512,):
+        for tile in (512, 256):
             if _tune_skip(f"inf tile={tile}"):
                 continue
             tk.INFER_TILE = tile
@@ -336,6 +338,7 @@ def main():
                 pick_variant=tk.PICK_VARIANT,
                 infer_variant=tk.INFER_VARIANT,
                 infer_tile=tk.INFER_TILE,
+                vt_lomask=tk.VT_LOMASK,
             ),
         )
         sys.stderr.write(f"# schedule: persisted for {device_kind} | {sched_key}\n")

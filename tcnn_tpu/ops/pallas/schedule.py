@@ -36,6 +36,9 @@ class Schedule:
     infer_variant: str = ""
     #: batch tile for the forward-only kernel (0 = plan.batch_tile)
     infer_tile: int = 0
+    #: vt lane-mask build form ("mm" = all-levels expansion matmul,
+    #: "bcast" = per-level transient build; see train_kernel.VT_LOMASK)
+    vt_lomask: str = "bcast"
 
     def as_tuple(self):
         return (
@@ -44,6 +47,7 @@ class Schedule:
             self.pick_variant,
             self.infer_variant,
             self.infer_tile,
+            self.vt_lomask,
         )
 
     def to_json(self) -> dict:

@@ -116,6 +116,20 @@ VT_OH = "bcast"
 #: (config_hash b=2^18, div=2): sum 22.87 ms vs mm 24.20 -> default sum.
 VT_PICK = "sum"
 
+#: vt lane-mask build: "mm" (one [128L, C*nt] expansion matmul + compare,
+#: ALL levels' masks live across the whole kernel) or "bcast" (per-level
+#: sublane-broadcast + iota compare, built lazily in the gather loop and
+#: REBUILT in the scatter loop). bcast trades one extra compare pass per
+#: level for dropping the kernel's largest VMEM resident (8 B/elem *
+#: C*nt * 128L = 33 MB at nt=512). MEASURED on v5e (config_hash b=2^18,
+#: scripts/probe_vt_lomask.py): train 22.8 -> 19.97 ms at div=2 and
+#: inference 13.3 -> 10.26 ms at tile 512 (-12.5% / -23%: the per-level
+#: builds pipeline under the gather matmuls AND the footprint drop
+#: relieves VMEM pressure at the same tile; bigger tiles still lose -
+#: div=1 22.1 ms, infer tile 1024 18.4 ms). Masks are exact integer
+#: compares either way: gradients bit-identical. Default bcast.
+VT_LOMASK = "bcast"
+
 
 def _fused_plan_for(model):
     """Shared shape gate for every fused kernel: grid+FFMLP model, no Sine,
@@ -182,9 +196,14 @@ def supported(model, loss, perturbation_sigma: float = 0.0) -> bool:
     )
     gtable_bytes = plan.h_total * 128 * plan.f * 4
     # v3b materializes lo_b [C*Nt, 128L] f32 AND the i1 mask_all (Mosaic
-    # lays i1 out in 32-bit lanes): 8 bytes/elem while both are live
+    # lays i1 out in 32-bit lanes): 8 bytes/elem while both are live.
+    # vt under VT_LOMASK="bcast" builds lane masks per level (transient,
+    # ~2 live): the all-levels resident disappears.
+    n_mask_levels = plan.n_levels
+    if variant == "vt" and VT_LOMASK == "bcast":
+        n_mask_levels = 2
     mask_all_bytes = (
-        8 * c_nt * 128 * plan.n_levels if variant in ("v3b", "vt") else 0
+        8 * c_nt * 128 * n_mask_levels if variant in ("v3b", "vt") else 0
     )
     est = mask_bytes + _table_bytes(plan) + gtable_bytes + mask_all_bytes
     return est < 70 * 1024 * 1024
@@ -213,9 +232,13 @@ def supported_infer(model) -> bool:
     # picked accumulator. vt: charging the same 8 B/elem rejected tiles
     # that MEASURABLY run (plan tile 1024 = 13.2 ms, tile 2048 runs too -
     # scripts/probe_vt_infer.py): Mosaic frees lo_bT before the per-level
-    # consumers, so only the f32 expansion is charged.
+    # consumers, so only the f32 expansion is charged. VT_LOMASK="bcast"
+    # has no all-levels resident at all (~2 levels live).
+    n_mask_levels = plan.n_levels
+    if variant == "vt" and VT_LOMASK == "bcast":
+        n_mask_levels = 2
     mask_all_bytes = (
-        (8 if variant == "v3b" else 4) * c_nt * 128 * plan.n_levels
+        (8 if variant == "v3b" else 4) * c_nt * 128 * n_mask_levels
         if variant in ("v3b", "vt")
         else 0
     )
@@ -529,13 +552,22 @@ def _kernel_vt(
         _truncate(hiT.astype(jnp.float32) + loT.astype(jnp.float32) + cwT)
         return
 
-    # lane masks for ALL levels: [128L, C*nt] bool (rows l*128 + j)
-    lo_bT = jax.lax.dot_general(
-        e_ref[:], loT.astype(jnp.bfloat16),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    mask_allT = lo_bT == iota_col_ref[:]
+    if VT_LOMASK == "mm":
+        # lane masks for ALL levels: [128L, C*nt] bool (rows l*128 + j)
+        lo_bT = jax.lax.dot_general(
+            e_ref[:], loT.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        mask_allT = lo_bT == iota_col_ref[:]
+
+    def _lane_mask(l):
+        """Level l's [128, C*nt] lane mask (mask(j, s) = lo(l, s) == j)."""
+        if VT_LOMASK == "mm":
+            return mask_allT[l * LANE : (l + 1) * LANE, :]
+        return jnp.broadcast_to(loT[l : l + 1, :], (LANE, cnt)) == (
+            jax.lax.broadcasted_iota(jnp.int32, (LANE, cnt), 0)
+        )
 
     def _build(l, level):
         """One level's transposed one-hot [h, C*nt] bf16 (the VT_OH forms
@@ -561,7 +593,8 @@ def _kernel_vt(
         dep = jnp.zeros((), jnp.float32)
         for l in active:
             dep = dep + jnp.sum(_build(l, plan.levels[l]).astype(jnp.float32))
-        _truncate(dep + jnp.sum(mask_allT.astype(jnp.float32)))
+            dep = dep + jnp.sum(_lane_mask(l).astype(jnp.float32))
+        _truncate(dep)
         return
 
     # ---- gather + pick ------------------------------------------------------
@@ -595,7 +628,7 @@ def _kernel_vt(
         if ablate == "gather":
             abl_dep = jnp.sum(gT) + (abl_dep if abl_dep is not None else 0.0)
             continue
-        maskl = mask_allT[l * LANE : (l + 1) * LANE, :]
+        maskl = _lane_mask(l)
         if VT_PICK == "sum":
             # sublane reduction pick: full-throughput on the VPU in this
             # layout (the row-major twin's lane reduce was the +7.6 ms
@@ -717,7 +750,9 @@ def _kernel_vt(
         ohT_l = ohTs[l] if ohTs[l] is not None else _build(l, plan.levels[l])
         # rhsT [128F, C*nt]: row f*128+j holds gy(f, l) broadcast over the
         # 128 lane-rows (sublane broadcast), masked to the pick lane
-        maskl = mask_allT[l * LANE : (l + 1) * LANE, :]
+        # (under VT_LOMASK="bcast" this REBUILDS the mask - one compare
+        # pass per level, in exchange for not keeping [128L, C*nt] live)
+        maskl = _lane_mask(l)
         rhs_rows = []
         for f in range(F):
             grow = gy_all[f * L + l : f * L + l + 1, :]
@@ -1214,12 +1249,20 @@ def _infer_kernel_vt(xT_ref, table_ref, e_ref, iota_col_ref, s_ref,
     cnt = C * nt
 
     hiT, loT, cwT = _index_math_vt(plan, xT, cr)
-    lo_bT = jax.lax.dot_general(
-        e_ref[:], loT.astype(jnp.bfloat16),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    mask_allT = lo_bT == iota_col_ref[:]
+    if VT_LOMASK == "mm":
+        lo_bT = jax.lax.dot_general(
+            e_ref[:], loT.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        mask_allT = lo_bT == iota_col_ref[:]
+
+    def _lane_mask(l):
+        if VT_LOMASK == "mm":
+            return mask_allT[l * LANE : (l + 1) * LANE, :]
+        return jnp.broadcast_to(loT[l : l + 1, :], (LANE, cnt)) == (
+            jax.lax.broadcasted_iota(jnp.int32, (LANE, cnt), 0)
+        )
 
     def _build(l, level):
         """One level's transposed one-hot [h, C*nt] bf16 (the VT_OH forms
@@ -1252,7 +1295,7 @@ def _infer_kernel_vt(xT_ref, table_ref, e_ref, iota_col_ref, s_ref,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        maskl = mask_allT[l * LANE : (l + 1) * LANE, :]
+        maskl = _lane_mask(l)
         if VT_PICK == "sum":
             for f in range(F):
                 gm_f = jnp.where(maskl, gT[f * LANE : (f + 1) * LANE, :], 0.0)

@@ -99,7 +99,7 @@ class Trainer:
 
         saved = (
             tk.RECOMPUTE_MASKS, tk.FUSED_TILE_DIV, tk.PICK_VARIANT,
-            tk.INFER_VARIANT, tk.INFER_TILE,
+            tk.INFER_VARIANT, tk.INFER_TILE, tk.VT_LOMASK,
         )
         s = self.schedule
         tk.RECOMPUTE_MASKS = s.recompute_masks
@@ -107,12 +107,13 @@ class Trainer:
         tk.PICK_VARIANT = s.pick_variant
         tk.INFER_VARIANT = s.infer_variant
         tk.INFER_TILE = s.infer_tile
+        tk.VT_LOMASK = s.vt_lomask
         try:
             yield
         finally:
             (
                 tk.RECOMPUTE_MASKS, tk.FUSED_TILE_DIV, tk.PICK_VARIANT,
-                tk.INFER_VARIANT, tk.INFER_TILE,
+                tk.INFER_VARIANT, tk.INFER_TILE, tk.VT_LOMASK,
             ) = saved
 
     # ------------------------------------------------------------------
@@ -268,7 +269,7 @@ class Trainer:
             if self.schedule is not None
             else (
                 _tk.RECOMPUTE_MASKS, _tk.FUSED_TILE_DIV, _tk.PICK_VARIANT,
-                _tk.INFER_VARIANT, _tk.INFER_TILE,
+                _tk.INFER_VARIANT, _tk.INFER_TILE, _tk.VT_LOMASK,
             )
         )
         return (ml_key, self.perturbation_sigma) + knobs + (_bk.A_LOOP,)

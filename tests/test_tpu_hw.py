@@ -310,9 +310,14 @@ def test_fused_recompute_mode_production_shape(monkeypatch):
 
 def test_binned_a_loop_modes_on_hw(monkeypatch):
     """A_LOOP (kernel A level fori-loop, the cold-compile lever) on real
-    Mosaic: 'transpose' must compile and stay bit-identical to the
-    unrolled kernel; 'lane' (dynamic lane-dim slicing) is allowed to be
-    rejected by the compiler but must be bit-identical when it isn't."""
+    Mosaic: both loop modes are OFF by default (PERF.md round-4 verdict:
+    off-mode cold compile is 32.5 s, and the loop modes hit
+    context-dependent Mosaic lowering failures on the current stack -
+    'transpose' a lane-offset vector.broadcast layout, 'lane' dynamic
+    lane-dim slicing; the S=64 plan default also changed the shapes the
+    r3 probe compiled). They are kept CPU-parity-pinned for future
+    stacks, so here each mode may be REJECTED by the compiler, but when
+    it does compile it must be bit-identical to the unrolled kernel."""
     from tcnn_tpu.ops.pallas import binned_kernel as bk
 
     enc = _grid(19, scale=2.0)
@@ -326,14 +331,17 @@ def test_binned_a_loop_modes_on_hw(monkeypatch):
                 float(np.asarray(dr)[0, 0]))
 
     base = run()
-    monkeypatch.setattr(bk, "A_LOOP", "transpose")
-    got = run()
-    for a, b in zip(base, got[:3] + (got[3],)):
-        np.testing.assert_array_equal(a, b)
-    monkeypatch.setattr(bk, "A_LOOP", "lane")
-    try:
-        got = run()
-    except Exception:
-        pytest.skip("Mosaic rejected dynamic lane slicing (documented)")
-    for a, b in zip(base, got[:3] + (got[3],)):
-        np.testing.assert_array_equal(a, b)
+    compiled_any = []
+    for mode in ("transpose", "lane"):
+        monkeypatch.setattr(bk, "A_LOOP", mode)
+        try:
+            got = run()
+        except Exception:  # noqa: BLE001 - documented Mosaic rejection
+            continue
+        compiled_any.append(mode)
+        for a, b in zip(base, got[:3] + (got[3],)):
+            np.testing.assert_array_equal(a, b)
+    if not compiled_any:
+        pytest.skip(
+            "Mosaic rejected both A_LOOP modes on this stack (documented)"
+        )

@@ -436,7 +436,7 @@ def test_fused_recompute_masks_with_max_level(monkeypatch):
     )
 
 
-@pytest.mark.parametrize("variant", ["cwend", "v3b"])
+@pytest.mark.parametrize("variant", ["cwend", "v3b", "vt"])
 def test_fused_pick_variants_match_base(monkeypatch, variant):
     """PICK_VARIANT formulations (unweighted masks + wide weight multiply;
     v3b additionally reduces lanes via selection matmuls) compute the same
@@ -476,7 +476,7 @@ def test_fused_pick_variants_match_base(monkeypatch, variant):
                                rtol=2e-2, atol=2e-5)
 
 
-@pytest.mark.parametrize("variant", ["cwend", "v3b"])
+@pytest.mark.parametrize("variant", ["cwend", "v3b", "vt"])
 def test_fused_pick_variants_stochastic_and_max_level(monkeypatch, variant):
     """Variant layouts stay correct through the stochastic single-corner
     scatter (f-major genc slicing) and max_level clamping (inactive levels
@@ -502,6 +502,39 @@ def test_fused_pick_variants_stochastic_and_max_level(monkeypatch, variant):
         ga, gb = np.asarray(outs["base"][1]), np.asarray(outs[variant][1])
         rel = np.linalg.norm(gb - ga) / max(np.linalg.norm(ga), 1e-12)
         assert rel < 1e-4, (enc_kw, rel)
+
+
+def test_vt_lomask_bcast_matches_mm(monkeypatch):
+    """VT_LOMASK forms build the SAME lane masks (lo == j, exact integer
+    compare either way), so the vt kernel's loss, gradients, and forward
+    must be bit-identical between "mm" and "bcast"."""
+    from tcnn_tpu.ops.pallas import train_kernel as tk
+    from tcnn_tpu.ops.pallas.train_kernel import fused_forward
+
+    m = _model()
+    tr = m.trainer
+    rng = np.random.default_rng(13)
+    B = 700  # NOT a tile multiple
+    x = jnp.asarray(rng.uniform(size=(B, 2)), jnp.float32)
+    t = jnp.asarray(rng.uniform(size=(B, 3)), jnp.float32)
+    monkeypatch.setattr(tk, "PICK_VARIANT", "vt")
+
+    outs, infs = {}, {}
+    for lomask in ("mm", "bcast"):
+        monkeypatch.setattr(tk, "VT_LOMASK", lomask)
+        with pltpu.force_tpu_interpret_mode():
+            outs[lomask] = fused_train_grads(
+                m.network, tr.loss_fn, tr.state["params"], x, t,
+                tr.loss_scale,
+            )
+            infs[lomask] = np.asarray(
+                fused_forward(m.network, tr.state["params"], x), np.float32
+            )
+    assert float(outs["bcast"][0]) == float(outs["mm"][0])
+    np.testing.assert_array_equal(
+        np.asarray(outs["bcast"][1]), np.asarray(outs["mm"][1])
+    )
+    np.testing.assert_array_equal(infs["bcast"], infs["mm"])
 
 
 def test_infer_gate_rejects_oversized_tile(monkeypatch):
