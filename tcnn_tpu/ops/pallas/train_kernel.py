@@ -126,8 +126,12 @@ VT_PICK = "sum"
 #: inference 13.3 -> 10.26 ms at tile 512 (-12.5% / -23%: the per-level
 #: builds pipeline under the gather matmuls AND the footprint drop
 #: relieves VMEM pressure at the same tile; bigger tiles still lose -
-#: div=1 22.1 ms, infer tile 1024 18.4 ms). Masks are exact integer
-#: compares either way: gradients bit-identical. Default bcast.
+#: div=1 22.1 ms, infer tile 1024 18.4 ms). A third form "cache" keeps
+#: the per-level bcast masks live for the scatter loop (no rebuild,
+#: half mm's resident): measured 19.81 vs bcast 19.88 ms - the rebuild
+#: is free under the scatter matmuls, so the lower-residency bcast stays
+#: default. Masks are exact integer compares in every form: gradients
+#: bit-identical.
 VT_LOMASK = "bcast"
 
 
@@ -198,12 +202,17 @@ def supported(model, loss, perturbation_sigma: float = 0.0) -> bool:
     # v3b materializes lo_b [C*Nt, 128L] f32 AND the i1 mask_all (Mosaic
     # lays i1 out in 32-bit lanes): 8 bytes/elem while both are live.
     # vt under VT_LOMASK="bcast" builds lane masks per level (transient,
-    # ~2 live): the all-levels resident disappears.
-    n_mask_levels = plan.n_levels
+    # ~2 live); "cache" keeps all levels' bool masks but no f32 expansion
+    # (4 B/elem, i1 in 32-bit lanes).
+    n_mask_levels, mask_elem_bytes = plan.n_levels, 8
     if variant == "vt" and VT_LOMASK == "bcast":
         n_mask_levels = 2
+    elif variant == "vt" and VT_LOMASK == "cache":
+        mask_elem_bytes = 4
     mask_all_bytes = (
-        8 * c_nt * 128 * n_mask_levels if variant in ("v3b", "vt") else 0
+        mask_elem_bytes * c_nt * 128 * n_mask_levels
+        if variant in ("v3b", "vt")
+        else 0
     )
     est = mask_bytes + _table_bytes(plan) + gtable_bytes + mask_all_bytes
     return est < 70 * 1024 * 1024
@@ -233,9 +242,10 @@ def supported_infer(model) -> bool:
     # that MEASURABLY run (plan tile 1024 = 13.2 ms, tile 2048 runs too -
     # scripts/probe_vt_infer.py): Mosaic frees lo_bT before the per-level
     # consumers, so only the f32 expansion is charged. VT_LOMASK="bcast"
-    # has no all-levels resident at all (~2 levels live).
+    # and "cache" have no all-levels resident (the forward consumes each
+    # level's mask once; ~2 levels live).
     n_mask_levels = plan.n_levels
-    if variant == "vt" and VT_LOMASK == "bcast":
+    if variant == "vt" and VT_LOMASK in ("bcast", "cache"):
         n_mask_levels = 2
     mask_all_bytes = (
         (8 if variant == "v3b" else 4) * c_nt * 128 * n_mask_levels
@@ -561,13 +571,22 @@ def _kernel_vt(
         )
         mask_allT = lo_bT == iota_col_ref[:]
 
+    # "cache": per-level bcast builds kept live for the scatter loop
+    # (half mm's resident - no f32 lo_bT - and no scatter-loop rebuild)
+    _mask_cache = [None] * L
+
     def _lane_mask(l):
         """Level l's [128, C*nt] lane mask (mask(j, s) = lo(l, s) == j)."""
         if VT_LOMASK == "mm":
             return mask_allT[l * LANE : (l + 1) * LANE, :]
-        return jnp.broadcast_to(loT[l : l + 1, :], (LANE, cnt)) == (
+        if _mask_cache[l] is not None:
+            return _mask_cache[l]
+        m = jnp.broadcast_to(loT[l : l + 1, :], (LANE, cnt)) == (
             jax.lax.broadcasted_iota(jnp.int32, (LANE, cnt), 0)
         )
+        if VT_LOMASK == "cache":
+            _mask_cache[l] = m
+        return m
 
     def _build(l, level):
         """One level's transposed one-hot [h, C*nt] bf16 (the VT_OH forms

@@ -504,10 +504,11 @@ def test_fused_pick_variants_stochastic_and_max_level(monkeypatch, variant):
         assert rel < 1e-4, (enc_kw, rel)
 
 
-def test_vt_lomask_bcast_matches_mm(monkeypatch):
+@pytest.mark.parametrize("lomask", ["bcast", "cache"])
+def test_vt_lomask_forms_match_mm(monkeypatch, lomask):
     """VT_LOMASK forms build the SAME lane masks (lo == j, exact integer
-    compare either way), so the vt kernel's loss, gradients, and forward
-    must be bit-identical between "mm" and "bcast"."""
+    compare in every form), so the vt kernel's loss, gradients, and
+    forward must be bit-identical to "mm"."""
     from tcnn_tpu.ops.pallas import train_kernel as tk
     from tcnn_tpu.ops.pallas.train_kernel import fused_forward
 
@@ -520,21 +521,21 @@ def test_vt_lomask_bcast_matches_mm(monkeypatch):
     monkeypatch.setattr(tk, "PICK_VARIANT", "vt")
 
     outs, infs = {}, {}
-    for lomask in ("mm", "bcast"):
-        monkeypatch.setattr(tk, "VT_LOMASK", lomask)
+    for form in ("mm", lomask):
+        monkeypatch.setattr(tk, "VT_LOMASK", form)
         with pltpu.force_tpu_interpret_mode():
-            outs[lomask] = fused_train_grads(
+            outs[form] = fused_train_grads(
                 m.network, tr.loss_fn, tr.state["params"], x, t,
                 tr.loss_scale,
             )
-            infs[lomask] = np.asarray(
+            infs[form] = np.asarray(
                 fused_forward(m.network, tr.state["params"], x), np.float32
             )
-    assert float(outs["bcast"][0]) == float(outs["mm"][0])
+    assert float(outs[lomask][0]) == float(outs["mm"][0])
     np.testing.assert_array_equal(
-        np.asarray(outs["bcast"][1]), np.asarray(outs["mm"][1])
+        np.asarray(outs[lomask][1]), np.asarray(outs["mm"][1])
     )
-    np.testing.assert_array_equal(infs["bcast"], infs["mm"])
+    np.testing.assert_array_equal(infs[lomask], infs["mm"])
 
 
 def test_infer_gate_rejects_oversized_tile(monkeypatch):
