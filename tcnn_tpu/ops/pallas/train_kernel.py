@@ -109,6 +109,16 @@ ABLATE = ""
 #: matmuls; the extra matmul does not). Default stays "bcast".
 VT_OH = "bcast"
 
+#: batch-tile divisor for the input-gradient megakernel (fused_ig_grads;
+#: nt = max(batch_tile // IG_TILE_DIV, 128)). The ig kernel caches every
+#: level's one-hot masks across gather/scatter/dy_dx, so its VMEM
+#: envelope - and best tile - differs from the train kernel's. MEASURED
+#: on v5e (config_hash b=2^18, grad-of-fused-forward incl. the vt
+#: forward): div=2 58.5 ms, div=4 65.2, div=8 60.3, div=1 fails to
+#: compile (VMEM) - same division-of-labor as the train kernel's tile
+#: 512 winner. Gradients bit-identical across divisors.
+IG_TILE_DIV = 2
+
 #: vt pick form: "sum" (per-(f,l) SUBLANE reduction of the masked gather
 #: block - in the transposed layout the pick reduce runs over sublanes,
 #: which the VPU does at full throughput, unlike the row-major layout's
@@ -1696,7 +1706,7 @@ def supported_ig(model, compute_dtype=None) -> bool:
     # the ig kernel blows past (RECOMPUTE_MASKS charges only 2 transient
     # levels) and reject ones it runs fine (v3b charges mask_all bytes
     # the ig kernel never materializes).
-    nt = max(plan.batch_tile // 4, 128)
+    nt = max(plan.batch_tile // IG_TILE_DIV, 128)
     c_nt = plan.n_corners * nt
     gtable_bytes = plan.h_total * 128 * plan.f * 4
     est = _cached_mask_bytes(plan, c_nt) + _table_bytes(plan) + gtable_bytes
@@ -1896,7 +1906,7 @@ def fused_ig_grads(model, params, x, gy):
     n_w = len(wts)
 
     b = x.shape[0]
-    nt = max(plan.batch_tile // 4, 128)
+    nt = max(plan.batch_tile // IG_TILE_DIV, 128)
     padded = -(-b // nt) * nt
     if padded != b:
         x = jnp.pad(x, ((0, padded - b), (0, 0)))
