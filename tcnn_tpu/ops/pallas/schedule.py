@@ -30,7 +30,7 @@ class Schedule:
 
     recompute_masks: bool = False
     fused_tile_div: int = 4
-    pick_variant: str = "base"
+    pick_variant: str = "vt"
     #: pick variant for the forward-only kernel ("" = pick_variant): the
     #: inference kernel has no scatter, so its best variant can differ
     infer_variant: str = ""

@@ -72,7 +72,12 @@ RECOMPUTE_MASKS = False
 #:           31.8 -> 24.2 ms on the config_hash b=2^18 fused step (v5e).
 #:           Downgrades to v3b for stochastic/Rng configs.
 #: All variants are mathematically identical (same products, same sums).
-PICK_VARIANT = "base"
+#: Default "vt": the measured-best form on v5e (37% over base at
+#: config_hash; every config it doesn't cover downgrades automatically -
+#: _resolve_variant). Trainers on a TPU backend also auto-adopt the
+#: persisted autotune winners for their exact (device kind, model plan)
+#: when a bench run has recorded them (Trainer.load_schedule).
+PICK_VARIANT = "vt"
 #: batch tile for the forward-only fused kernel (fused_forward). 0 = use
 #: plan.batch_tile. The inference kernel has no scatter/cached-mask VMEM,
 #: so tiles larger than the train-shared plan tile can win - swept by
@@ -450,12 +455,17 @@ def _pick_consts_vt(plan, active):
     )
 
 
-def _index_math_vt(plan, xT, cr):
+def _index_math_vt(plan, xT, cr, want_ig=False):
     """xT [D, nt] -> (hiT, loT, cwT) i32/i32/f32 [L, C*nt]: the transposed
     mirror of gk._stacked_hi_lo_w_v2 (same wide-op structure; corners are
     LANE-stacked blocks, constants are [N, 1] columns broadcast over
     lanes). Only the standard interpolated path (no Nearest, no ext hash -
-    _resolve_variant downgrades those)."""
+    _resolve_variant downgrades those).
+
+    want_ig additionally returns (termT, bitsT, derivT) for the dy_dx
+    contraction: termT [D*L, C*nt] per-dim selected factors (w or 1-w),
+    bitsT [D*L, C*nt] corner bits, derivT [D*L, nt] dW/dx chain factors
+    (scales, or the smoothstep derivative * scales)."""
     from ...common import InterpolationType, smoothstep
 
     L, D, C = plan.n_levels, plan.d, plan.n_corners
@@ -504,6 +514,14 @@ def _index_math_vt(plan, xT, cr):
         fraw - jnp.floor(fraw / cr["size_f"]) * cr["size_f"]
     ).astype(jnp.int32)
     idx = jnp.where(cr["pow2_mask"] == 1, idx_and, idx_fmod)
+    if want_ig:
+        deriv = (
+            6.0 * fract * (1.0 - fract) * cr["scales"]
+            if plan.interpolation == InterpolationType.Smoothstep
+            else jnp.broadcast_to(cr["scales"], fract.shape)
+        )  # [D*L, nt]
+        return (idx >> 7, idx & (LANE - 1), cw,
+                term, bits.astype(jnp.float32), deriv)
     return idx >> 7, idx & (LANE - 1), cw
 
 
@@ -1885,10 +1903,178 @@ def _ig_kernel(x_ref, gy_ref, table_ref, *rest, plan, mlp, n_weights,
     gx_ref[:] = gx.reshape(C, nt, D).sum(axis=0).astype(gx_ref.dtype)
 
 
+def _ig_kernel_vt(xT_ref, gyT_ref, table_ref, *rest, plan, mlp, n_weights,
+                  enc_pad):
+    """The transposed (vt) input-gradient megakernel: _ig_kernel with
+    samples on the lane dimension throughout - sublane picks instead of
+    lane reduces, sublane-broadcast scatter rhs, transposed MLP, and the
+    dy_dx contraction as sublane block reductions. Same math as
+    _ig_kernel (grid.h:171-211 finite-corner-difference); enc rows are
+    f-major (f*L + l), so the wrapper applies the _fm_row_perm W0
+    permutation. Lane masks use the bcast build unconditionally (the
+    train kernel's measured winner)."""
+    n_w = n_weights
+    const_refs = rest[: len(gk._CONST_NAMES)]
+    w_refs = rest[len(gk._CONST_NAMES) : len(gk._CONST_NAMES) + n_w]
+    out_refs = rest[len(gk._CONST_NAMES) + n_w :]
+    gtable_ref = out_refs[0]
+    gw_refs = out_refs[1 : 1 + n_w]
+    gxT_ref = out_refs[1 + n_w]
+
+    cr = {name: ref[:] for name, ref in zip(gk._CONST_NAMES, const_refs)}
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        gtable_ref[:] = jnp.zeros_like(gtable_ref)
+        for gw in gw_refs:
+            gw[:] = jnp.zeros_like(gw)
+
+    xT = xT_ref[:]
+    gyT = gyT_ref[:].astype(jnp.float32)  # [out_pad, nt]
+    nt = xT.shape[1]
+    F, C, L, D = plan.f, plan.n_corners, plan.n_levels, plan.d
+    cnt = C * nt
+
+    hiT, loT, cwT, termT, bitsT, derivT = _index_math_vt(
+        plan, xT, cr, want_ig=True
+    )
+
+    def _lane_mask(l):
+        return jnp.broadcast_to(loT[l : l + 1, :], (LANE, cnt)) == (
+            jax.lax.broadcasted_iota(jnp.int32, (LANE, cnt), 0)
+        )
+
+    def _build(l, level):
+        hr = jnp.broadcast_to(hiT[l : l + 1, :], (level.h, cnt))
+        return (
+            hr == jax.lax.broadcasted_iota(jnp.int32, (level.h, cnt), 0)
+        ).astype(jnp.bfloat16)
+
+    # ---- gather: unweighted picks (shared with dy_dx) --------------------
+    ohTs = [None] * L
+    pick_rows = {}
+    built = {0: _build(0, plan.levels[0])}
+    for l, level in enumerate(plan.levels):
+        if l + 1 < L:
+            built[l + 1] = _build(l + 1, plan.levels[l + 1])
+        ohT = built.pop(l)
+        ohTs[l] = ohT  # cached for the scatter (per _ig_kernel's contract)
+        tbl = table_ref[level.row_off : level.row_off + level.h, :]
+        gT = jax.lax.dot_general(
+            tbl, ohT,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        maskl = _lane_mask(l)
+        for f in range(F):
+            gm_f = jnp.where(maskl, gT[f * LANE : (f + 1) * LANE, :], 0.0)
+            pick_rows[f * L + l] = jnp.sum(gm_f, axis=0, keepdims=True)
+    picked_t = jnp.concatenate(
+        [pick_rows[r] for r in range(F * L)], axis=0
+    )  # [F*L, C*nt], UNWEIGHTED (shared with dy_dx)
+
+    cw_exp = jnp.concatenate([cwT] * F, axis=0)  # [F*L, C*nt]
+    enc_w = picked_t * cw_exp
+    encT = enc_w[:, :nt]
+    for c in range(1, C):
+        encT = encT + enc_w[:, c * nt : (c + 1) * nt]
+    if enc_pad:
+        encT = jnp.concatenate(
+            [encT, jnp.zeros((enc_pad, nt), encT.dtype)], axis=0
+        )
+
+    # ---- fused MLP forward (recompute) + backward with external gy -------
+    hT = encT.astype(jnp.bfloat16)
+    hsT = [hT]
+    for i in range(n_w):
+        zT = jax.lax.dot_general(
+            w_refs[i][:], hT,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        act = mlp.output_activation if i == n_w - 1 else mlp.activation
+        hT = activation_fn(zT, act).astype(jnp.bfloat16)
+        hsT.append(hT)
+
+    gT = gyT
+    for i in reversed(range(n_w)):
+        act = mlp.output_activation if i == n_w - 1 else mlp.activation
+        gT = activation_bwd_out(gT, hsT[i + 1].astype(jnp.float32), act)
+        gw_refs[i][:] = gw_refs[i][:] + jax.lax.dot_general(
+            hsT[i].astype(jnp.float32), gT,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        gT = jax.lax.dot_general(
+            w_refs[i][:].astype(jnp.float32), gT,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    gencT = gT[: L * F, :]  # [F*L, nt] f-major
+
+    # ---- grid scatter (reusing ohTs; cw folded into the cotangent) -------
+    gy_allu = jnp.concatenate([gencT] * C, axis=1)  # [F*L, C*nt] unweighted
+    gy_all = gy_allu * cw_exp
+
+    def _scatter_operands(l):
+        maskl = _lane_mask(l)
+        rhs_rows = []
+        for f in range(F):
+            grow = gy_all[f * L + l : f * L + l + 1, :]
+            rhs_rows.append(
+                jnp.where(maskl, jnp.broadcast_to(grow, (LANE, cnt)), 0.0)
+            )
+        return jnp.concatenate(rhs_rows, axis=0).astype(jnp.bfloat16)
+
+    pend = {0: _scatter_operands(0)}
+    for l, level in enumerate(plan.levels):
+        if l + 1 < L:
+            pend[l + 1] = _scatter_operands(l + 1)
+        contrib = jax.lax.dot_general(
+            ohTs[l], pend.pop(l),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        sl = slice(level.row_off, level.row_off + level.h)
+        gtable_ref[sl, :] = gtable_ref[sl, :] + contrib
+
+    # ---- dy_dx contraction (transposed) -----------------------------------
+    # dot[l, :] = sum_f picked(f,l) * genc(f,l): sublane block reduction
+    prod = picked_t * gy_allu  # [F*L, C*nt]
+    dotT = prod[:L, :]
+    for f in range(1, F):
+        dotT = dotT + prod[f * L : (f + 1) * L, :]  # [L, C*nt]
+
+    gx_rows = []
+    for d in range(D):
+        # sgn * prod_{d2 != d} term_{d2}: all [L, C*nt] row blocks
+        sgnT = 2.0 * bitsT[d * L : (d + 1) * L, :] - 1.0
+        other = None
+        for d2 in range(D):
+            if d2 == d:
+                continue
+            t2 = termT[d2 * L : (d2 + 1) * L, :]
+            other = t2 if other is None else other * t2
+        if other is None:
+            other = jnp.ones_like(sgnT)
+        deriv_exp = jnp.concatenate(
+            [derivT[d * L : (d + 1) * L, :]] * C, axis=1
+        )
+        contrib = dotT * (sgnT * other) * deriv_exp  # [L, C*nt]
+        row = jnp.sum(contrib, axis=0, keepdims=True)  # [1, C*nt]
+        acc = row[:, :nt]
+        for c in range(1, C):
+            acc = acc + row[:, c * nt : (c + 1) * nt]
+        gx_rows.append(acc)
+    gxT_ref[:] = jnp.concatenate(gx_rows, axis=0).astype(gxT_ref.dtype)
+
+
 def fused_ig_grads(model, params, x, gy):
     """(grads_flat, gx) via the fused input-gradient backward kernel.
     gy: [B, out_pad] output cotangent (raw - the caller owns any loss
-    scale)."""
+    scale). Runs the transposed (vt) kernel when the plan resolves to it
+    (standard interpolated dense path); Rng-hash plans keep the
+    row-major kernel (ext operand machinery)."""
     plan = model.encoding._kernel_plan()
     mlp = model.network
     enc = model.encoding
@@ -1904,24 +2090,48 @@ def fused_ig_grads(model, params, x, gy):
         )
         off += r * c
     n_w = len(wts)
+    vt = _resolve_variant(plan) == "vt"
+    w0_inv = None
+    if vt:
+        perm, w0_inv = _fm_row_perm(plan, int(wts[0].shape[0]))
+        wts[0] = wts[0][perm, :]
 
     b = x.shape[0]
+    d_in = x.shape[1]
     nt = max(plan.batch_tile // IG_TILE_DIV, 128)
     padded = -(-b // nt) * nt
     if padded != b:
         x = jnp.pad(x, ((0, padded - b), (0, 0)))
         gy = jnp.pad(gy, ((0, padded - b), (0, 0)))
 
-    consts = gk._plan_constants(plan)
+    consts = _plan_constants_vt(plan) if vt else gk._plan_constants(plan)
     out_w = mlp.padded_output_width
-    ext_specs, ext_args = gk._ext_specs_args(plan, x, nt=nt)
+    if vt:
+        x = x.T
+        gy = gy.T
+        ext_specs, ext_args = [], []
+        data_spec = lambda rows: pl.BlockSpec(  # noqa: E731
+            (rows, nt), lambda g: (0, g), memory_space=pltpu.VMEM
+        )
+        x_spec, gy_spec = data_spec(d_in), data_spec(out_w)
+        gx_spec = data_spec(d_in)
+        gx_shape = jax.ShapeDtypeStruct((d_in, padded), jnp.float32)
+        kern = _ig_kernel_vt
+    else:
+        ext_specs, ext_args = gk._ext_specs_args(plan, x, nt=nt)
+        x_spec = pl.BlockSpec((nt, d_in), lambda g: (g, 0),
+                              memory_space=pltpu.VMEM)
+        gy_spec = pl.BlockSpec((nt, out_w), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM)
+        gx_spec = pl.BlockSpec((nt, d_in), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM)
+        gx_shape = jax.ShapeDtypeStruct((padded, d_in), jnp.float32)
+        kern = _ig_kernel
 
     in_specs = (
         [
-            pl.BlockSpec((nt, x.shape[1]), lambda g: (g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nt, out_w), lambda g: (g, 0),
-                         memory_space=pltpu.VMEM),
+            x_spec,
+            gy_spec,
             pl.BlockSpec(
                 (plan.h_total, LANE * plan.f), lambda g: (0, 0),
                 memory_space=pltpu.VMEM,
@@ -1945,19 +2155,16 @@ def fused_ig_grads(model, params, x, gy):
             pl.BlockSpec(w.shape, lambda g: (0, 0), memory_space=pltpu.VMEM)
             for w in wts
         ]
-        + [
-            pl.BlockSpec((nt, x.shape[1]), lambda g: (g, 0),
-                         memory_space=pltpu.VMEM)
-        ]
+        + [gx_spec]
     )
     out_shape = (
         [jax.ShapeDtypeStruct((plan.h_total, LANE * plan.f), jnp.float32)]
         + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wts]
-        + [jax.ShapeDtypeStruct((padded, x.shape[1]), jnp.float32)]
+        + [gx_shape]
     )
     outs = pl.pallas_call(
         functools.partial(
-            _ig_kernel, plan=plan, mlp=mlp, n_weights=n_w, enc_pad=enc_pad
+            kern, plan=plan, mlp=mlp, n_weights=n_w, enc_pad=enc_pad
         ),
         grid=(padded // nt,),
         in_specs=in_specs,
@@ -1970,7 +2177,9 @@ def fused_ig_grads(model, params, x, gy):
     )
     gtable = outs[0]
     gwts = outs[1 : 1 + n_w]
-    gx = outs[1 + n_w][:b]
+    if w0_inv is not None:
+        gwts = [gwts[0][w0_inv, :]] + list(gwts[1:])
+    gx = outs[1 + n_w].T[:b] if vt else outs[1 + n_w][:b]
     genc = gk.unpack_table_grads(plan, gtable, int(enc_p.shape[0]))
     gnet = jnp.concatenate([g.T.reshape(-1) for g in gwts])
     return jnp.concatenate([gnet, genc]).astype(jnp.float32), gx

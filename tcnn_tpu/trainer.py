@@ -73,6 +73,17 @@ class Trainer:
         #: traced call, so two Trainers in one process each run (and gate)
         #: at their own knobs instead of sharing process globals.
         self.schedule = None
+        # On a TPU backend, adopt the persisted autotune winners for this
+        # (device kind, model plan) if a bench run has recorded them -
+        # users get the tuned schedule without running the autotune (a
+        # round-4 sample measured 2x slower on the module defaults).
+        # Best-effort: any failure keeps the defaults. CPU backends skip
+        # (keeps tests hermetic).
+        try:
+            if jax.default_backend() == "tpu":
+                self.load_schedule()
+        except Exception:  # noqa: BLE001 - never fail construction
+            pass
 
     def load_schedule(self) -> bool:
         """Adopt the persisted autotuned schedule for this model on this
