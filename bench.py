@@ -352,7 +352,10 @@ def main():
         supported_infer,
     )
 
-    if supported_infer(model.network):
+    # The scan loop dispatches the fused Pallas forward directly, so it
+    # must apply the same TPU-backend gate Trainer.inference does (the
+    # CPU smoke run takes the eager-Trainer branch below).
+    if jax.default_backend() == "tpu" and supported_infer(model.network):
         # SCAN_STEPS forwards per dispatch, like the train loop: the
         # reference's inference launches cost ~us (bench_ours.cu), the
         # axon tunnel's per-dispatch overhead is ~2 ms - amortize it out

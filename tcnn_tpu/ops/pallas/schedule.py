@@ -107,20 +107,30 @@ def load_schedule(device_kind: str, key: str | None) -> Schedule | None:
 
 
 def save_schedule(device_kind: str, key: str | None, sched: Schedule) -> None:
-    """Persist (atomic replace; concurrent writers last-wins per entry)."""
+    """Persist (last-wins per entry). The read-modify-write runs under an
+    exclusive flock on a sidecar lock file so two concurrent bench runs
+    saving different (device, model) entries can't drop each other's; the
+    replace itself is atomic so readers never see a torn file."""
     if key is None:
         return
     path = _store_path()
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    store = _read_store(path)
-    store[f"{device_kind}|{key}"] = sched.to_json()
-    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
-    try:
-        with os.fdopen(fd, "w") as f:
-            json.dump(store, f, indent=1)
-        os.replace(tmp, path)
-    except OSError:
+    with open(path + ".lock", "w") as lock:
         try:
-            os.unlink(tmp)
+            import fcntl
+
+            fcntl.flock(lock, fcntl.LOCK_EX)
+        except (ImportError, OSError):
+            pass  # no flock (non-POSIX): degrade to last-writer-wins
+        store = _read_store(path)
+        store[f"{device_kind}|{key}"] = sched.to_json()
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(store, f, indent=1)
+            os.replace(tmp, path)
         except OSError:
-            pass
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass

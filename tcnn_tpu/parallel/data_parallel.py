@@ -138,11 +138,17 @@ class DataParallelTrainer:
         return tuple(jax.device_put(a, self._batch_sharded) for a in arrays)
 
     def step(self, state, inputs, targets, pdf=None):
-        if pdf is None:
-            inputs, targets = self.shard_batch(inputs, targets)
-            return self._jit_for("step_nopdf")(state, inputs, targets)
-        inputs, targets, pdf = self.shard_batch(inputs, targets, pdf)
-        return self._jit_for("step")(state, inputs, targets, pdf)
+        # _schedule_ctx: tracing happens on the first dispatch of each
+        # jitted step, so the trainer's per-model Schedule (e.g. persisted
+        # autotune winners) must be live HERE too, not only in
+        # Trainer.training_step - otherwise the sharded step would trace
+        # at module defaults while keying on the schedule's knobs.
+        with self.trainer._schedule_ctx():
+            if pdf is None:
+                inputs, targets = self.shard_batch(inputs, targets)
+                return self._jit_for("step_nopdf")(state, inputs, targets)
+            inputs, targets, pdf = self.shard_batch(inputs, targets, pdf)
+            return self._jit_for("step")(state, inputs, targets, pdf)
 
     def step_external(self, state, inputs, dL_doutput):
         """Training step from a caller-provided dL_doutput (the reference's
@@ -150,5 +156,6 @@ class DataParallelTrainer:
         psum (unnormalized-sum) gradient reduction - external dL_doutput
         carries the caller's own normalization, unlike the loss path's
         per-sample mean. Returns the new state (no loss)."""
-        inputs, dL_doutput = self.shard_batch(inputs, dL_doutput)
-        return self._jit_for("step_ext")(state, inputs, dL_doutput)
+        with self.trainer._schedule_ctx():
+            inputs, dL_doutput = self.shard_batch(inputs, dL_doutput)
+            return self._jit_for("step_ext")(state, inputs, dL_doutput)

@@ -102,7 +102,15 @@ class Trainer:
     def _schedule_ctx(self):
         """Apply self.schedule to the train_kernel globals for the scope of
         a traced call (the kernels read the knobs at trace time); restores
-        the process defaults after. No-op when schedule is None."""
+        the process defaults after. No-op when schedule is None.
+
+        NOT thread-safe: the knobs are module globals, so two trainers
+        with different schedules must not trace concurrently (dispatches
+        of already-compiled steps are unaffected - the knobs are only
+        read at trace time, and every jit cache keys on them). Direct
+        callers of the functional core (train_step_fn etc.) bypass this
+        context and run at the module defaults; wrappers that jit the
+        core themselves (DataParallelTrainer) apply it explicitly."""
         if self.schedule is None:
             yield
             return
@@ -283,7 +291,15 @@ class Trainer:
                 _tk.INFER_VARIANT, _tk.INFER_TILE, _tk.VT_LOMASK,
             )
         )
-        return (ml_key, self.perturbation_sigma) + knobs + (_bk.A_LOOP,)
+        # trace-time globals NOT covered by Schedule (sweep/ablation knobs
+        # + the ig kernel's tile divisor): without them a live flip would
+        # silently reuse the stale compiled step (ABLATE in particular
+        # produces intentionally-truncated outputs)
+        globals_key = (_tk.VT_OH, _tk.VT_PICK, _tk.IG_TILE_DIV, _tk.ABLATE)
+        return (
+            (ml_key, self.perturbation_sigma)
+            + knobs + globals_key + (_bk.A_LOOP,)
+        )
 
     def _get_jitted(self, name, fn, **jit_kwargs):
         key = (name, self._trace_baked_key())
@@ -405,7 +421,6 @@ class Trainer:
         kernel_mlp_fused<INFERENCE=true> (fully_fused_mlp.cu:499-557).
         Falls back to the composed apply when the model/config is not
         fused-kernel shaped."""
-        params = self.inference_params
         enc = getattr(self.model, "encoding", None)
         with self._schedule_ctx():
             if (
@@ -418,20 +433,31 @@ class Trainer:
                 )
 
                 # prepared operands (packed table + bf16 weights) are
-                # cached by params identity: repeated inference skips the
-                # per-call repack (~2 ms at config_hash); any training
-                # step replaces state["params"] (donated buffer), so the
-                # identity check invalidates exactly when needed
+                # cached by identity of the SOURCE buffers inference_params
+                # derives from (master params + optimizer-state leaves):
+                # repeated inference skips the per-call repack (~2 ms at
+                # config_hash) AND, for custom-weights optimizers
+                # (EMA/Average/Lookahead), the eager custom_weights
+                # compute - whose fresh output array would never hit an
+                # identity cache keyed on the derived value. Any training
+                # step replaces both params and opt leaves (donated
+                # buffers), so identity invalidates exactly when needed.
+                srcs = (self.state["params"],) + tuple(
+                    jax.tree_util.tree_leaves(self.state["opt"])
+                )
                 knobs = self._trace_baked_key()  # W0 perm follows variant
                 cached = getattr(self, "_infer_prepared", None)
-                if cached is None or cached[0] is not params or (
-                    cached[1] != knobs
+                if (
+                    cached is None
+                    or cached[1] != knobs
+                    or len(cached[0]) != len(srcs)
+                    or any(a is not b for a, b in zip(cached[0], srcs))
                 ):
                     prep = self._get_jitted(
                         "inference_prepare",
                         lambda p: prepare_forward(self.model, p),
-                    )(params)
-                    cached = (params, knobs, prep)
+                    )(self.inference_params)
+                    cached = (srcs, knobs, prep)
                     self._infer_prepared = cached
                 fn = self._get_jitted(
                     "inference_fused",
@@ -446,7 +472,7 @@ class Trainer:
                     p, i, compute_dtype=self.compute_dtype
                 )[:, : self.model.n_output_dims].astype(jnp.float32),
             )
-            return fn(params, inputs)
+            return fn(self.inference_params, inputs)
 
     # ------------------------------------------------------------------
     # Hyperparams / checkpointing

@@ -204,3 +204,36 @@ def test_schedule_numerics_parity():
         o1 = np.asarray(tm1.trainer.inference(x))
         o2 = np.asarray(tm2.trainer.inference(x))
     np.testing.assert_allclose(o1, o2, rtol=1e-3, atol=1e-5)
+
+
+def test_non_schedule_globals_in_jit_key():
+    """Trace-time knobs NOT covered by Schedule (VT_OH, VT_PICK,
+    IG_TILE_DIV, ABLATE) must also retrace a live Trainer - flipping one
+    with a compiled step cached would otherwise silently keep the stale
+    program (round-4 advisor, medium)."""
+    tm = _make_model()
+    tr = tm.trainer
+    x = jax.random.uniform(jax.random.PRNGKey(0), (256, 2))
+    t = jax.random.uniform(jax.random.PRNGKey(1), (256, 3))
+    tr.training_step(x, t)
+    for knob, val in [("VT_OH", "mm"), ("VT_PICK", "mm"),
+                      ("IG_TILE_DIV", 8), ("ABLATE", "gather")]:
+        saved = getattr(tk, knob)
+        n0 = len(tr._jitted)
+        try:
+            setattr(tk, knob, val)
+            tr.training_step(x, t)
+        finally:
+            setattr(tk, knob, saved)
+        assert len(tr._jitted) == n0 + 1, knob
+    # and with a per-trainer Schedule set, the globals still key
+    tr.schedule = Schedule()
+    tr.training_step(x, t)
+    n0 = len(tr._jitted)
+    saved = tk.IG_TILE_DIV
+    try:
+        tk.IG_TILE_DIV = 16
+        tr.training_step(x, t)
+    finally:
+        tk.IG_TILE_DIV = saved
+    assert len(tr._jitted) == n0 + 1
