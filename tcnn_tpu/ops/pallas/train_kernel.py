@@ -149,6 +149,20 @@ VT_PICK = "sum"
 #: bit-identical.
 VT_LOMASK = "bcast"
 
+#: vt cross-tile software pipeline: instance g computes tile g+1's index
+#: math (hi/lo/cw) and parks it in VMEM scratch, while the gather/scatter
+#: matmuls for tile g consume the values instance g-1 parked. Bit-
+#: identical (i32/f32 scratch roundtrip is exact). MEASURED NO-OP on v5e
+#: (19.85 -> 19.84 ms at config_hash b=2^18, scripts/probe_vt_pipeline
+#: .py) - and the "nowrite" profiling mode (drop the index-math chain
+#: entirely, garbage outputs) buys only 0.15 ms, i.e. Mosaic ALREADY
+#: hides the index math under the matmuls in the unpipelined kernel;
+#: the additive phase-ablation deltas misattribute it. A separate probe
+#: (scripts/probe_vpu_mxu_overlap.py) confirms Mosaic overlaps ~80% of
+#: an independent VPU chain under MXU work. Default off; kept as the
+#: receipt for "the index math is not the bottleneck".
+VT_PIPELINE = False
+
 
 def _fused_plan_for(model):
     """Shared shape gate for every fused kernel: grid+FFMLP model, no Sine,
@@ -230,6 +244,8 @@ def supported(model, loss, perturbation_sigma: float = 0.0) -> bool:
         else 0
     )
     est = mask_bytes + _table_bytes(plan) + gtable_bytes + mask_all_bytes
+    if variant == "vt" and VT_PIPELINE:
+        est += 3 * plan.n_levels * c_nt * 4  # hi/lo/cw pipeline scratch
     return est < 70 * 1024 * 1024
 
 
@@ -527,14 +543,7 @@ def _index_math_vt(plan, xT, cr, want_ig=False):
 
 def _kernel_vt(
     xT_ref,
-    tT_ref,
-    table_ref,
-    e_ref,
-    iota_col_ref,
-    s_ref,
-    eh_ref,
-    iota_rows_ref,
-    *rest,
+    *args,
     plan,
     mlp,
     loss,
@@ -547,9 +556,17 @@ def _kernel_vt(
     has_noise,
     has_ext_dl,
     recompute,
+    pipeline=False,
     ablate="",
 ):
     n_w = n_weights
+    if pipeline:
+        xn_ref, rest = args[0], args[1:]
+    else:
+        xn_ref, rest = None, args
+    (tT_ref, table_ref, e_ref, iota_col_ref, s_ref, eh_ref,
+     iota_rows_ref) = rest[:7]
+    rest = rest[7:]
     const_refs = rest[: len(gk._CONST_NAMES)]
     w_refs = rest[len(gk._CONST_NAMES) : len(gk._CONST_NAMES) + n_w]
     pos = len(gk._CONST_NAMES) + n_w
@@ -565,6 +582,7 @@ def _kernel_vt(
     gtable_ref = out_refs[0]
     gw_refs = out_refs[1 : 1 + n_w]
     loss_ref = out_refs[1 + n_w]
+    im_scratch = out_refs[2 + n_w :] if pipeline else ()
 
     def _truncate(dep):
         # FULL reduction: a slice dep lets Mosaic shrink the stage's
@@ -585,7 +603,31 @@ def _kernel_vt(
     F, C, L = plan.f, plan.n_corners, plan.n_levels
     cnt = C * nt
 
-    hiT, loT, cwT = _index_math_vt(plan, xT, cr)
+    if pipeline:
+        hi_s, lo_s, cw_s = im_scratch
+
+        @pl.when(pl.program_id(0) == 0)
+        def _seed():
+            h0, l0, c0 = _index_math_vt(plan, xT, cr)
+            hi_s[:] = h0
+            lo_s[:] = l0
+            cw_s[:] = c0
+
+        # tile g's values (parked by instance g-1, or the seed above)
+        hiT, loT, cwT = hi_s[:], lo_s[:], cw_s[:]
+        if pipeline != "nowrite":  # "nowrite": PROFILING ONLY - every
+            # tile reuses tile 0's indices (garbage outputs) to price the
+            # index-math chain inside the real kernel
+            # park tile g+1's: this chain is independent of everything
+            # below, so Mosaic schedules it under the gather/scatter
+            # matmuls (same-ref program order keeps the writes after the
+            # reads above)
+            hn, ln, wn = _index_math_vt(plan, xn_ref[:], cr)
+            hi_s[:] = hn
+            lo_s[:] = ln
+            cw_s[:] = wn
+    else:
+        hiT, loT, cwT = _index_math_vt(plan, xT, cr)
     if ablate == "index":
         _truncate(hiT.astype(jnp.float32) + loT.astype(jnp.float32) + cwT)
         return
@@ -666,7 +708,11 @@ def _kernel_vt(
         keep = not recompute
         ohTs[l] = ohT if keep else None
         tbl = table_ref[level.row_off : level.row_off + level.h, :]
-        # gT [128F, C*nt] f32: features on sublanes, samples on lanes
+        # gT [128F, C*nt] f32: features on sublanes, samples on lanes.
+        # (bf16 gT + mask-multiply pick was MEASURED WORSE on v5e - train
+        # 19.85 -> 20.22 ms, inference 10.3 -> 27 ms: the i1->bf16 mask
+        # cast and the narrowing pass cost more than the halved VMEM
+        # traffic buys. Keep the f32 gT + i1 where.)
         gT = jax.lax.dot_general(
             tbl, ohT,
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -1551,6 +1597,10 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None,
     vt = variant == "vt"
     consts = _plan_constants_vt(plan) if vt else gk._plan_constants(plan)
     grid_steps = padded // nt
+    # cross-tile index-math pipeline (see VT_PIPELINE): needs a real next
+    # tile to be useful, and the phase-ablation stages measure the
+    # unpipelined structure
+    pipe = vt and VT_PIPELINE and not ABLATE and grid_steps > 1
 
     kern = functools.partial(
         _kernel_vt if vt else _kernel,
@@ -1567,7 +1617,8 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None,
         has_ext_dl=ext_dl,
         recompute=recompute,
         ablate=ABLATE,
-        **({} if vt else {"variant": variant}),
+        **({"pipeline": VT_PIPELINE if pipe else False} if vt
+           else {"variant": variant}),
     )
 
     if vt:
@@ -1597,9 +1648,22 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None,
         else (lambda cols: pl.BlockSpec((nt, cols), lambda g: (g, 0),
                                         memory_space=pltpu.VMEM))
     )
+    xn_specs = []
+    if pipe:
+        # the NEXT batch tile, for the pipelined index math (clamped at
+        # the last instance - its park is dead work, ~4 us)
+        last = grid_steps - 1
+        xn_specs = [
+            pl.BlockSpec(
+                (x.shape[0], nt),
+                lambda g: (0, jnp.minimum(g + 1, last)),
+                memory_space=pltpu.VMEM,
+            )
+        ]
     in_specs = (
-        [
-            data_spec(x.shape[0] if vt else x.shape[1]),
+        [data_spec(x.shape[0] if vt else x.shape[1])]
+        + xn_specs
+        + [
             data_spec(out_dims),
             pl.BlockSpec(
                 (plan.h_total, LANE * plan.f),
@@ -1661,15 +1725,25 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None,
                                                  stacked=True)
         extra_args.extend(ext_args)
         in_specs = in_specs + ext_specs
+    scratch_shapes = []
+    if pipe:
+        cnt = plan.n_corners * nt
+        scratch_shapes = [
+            pltpu.VMEM((plan.n_levels, cnt), jnp.int32),   # hi
+            pltpu.VMEM((plan.n_levels, cnt), jnp.int32),   # lo
+            pltpu.VMEM((plan.n_levels, cnt), jnp.float32),  # cw
+        ]
+    xn_args = (x,) if pipe else ()
     outs = pl.pallas_call(
         kern,
         grid=(grid_steps,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         compiler_params=gk._VMEM_LIMIT,
-    )(x, targets, table_packed, *pick_args, *gk._const_args(consts), *wts,
-      *extra_args)
+    )(x, *xn_args, targets, table_packed, *pick_args,
+      *gk._const_args(consts), *wts, *extra_args)
 
     gtable = outs[0]
     gwts = outs[1 : 1 + n_w]

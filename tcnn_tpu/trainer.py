@@ -295,7 +295,10 @@ class Trainer:
         # + the ig kernel's tile divisor): without them a live flip would
         # silently reuse the stale compiled step (ABLATE in particular
         # produces intentionally-truncated outputs)
-        globals_key = (_tk.VT_OH, _tk.VT_PICK, _tk.IG_TILE_DIV, _tk.ABLATE)
+        globals_key = (
+            _tk.VT_OH, _tk.VT_PICK, _tk.IG_TILE_DIV, _tk.ABLATE,
+            _tk.VT_PIPELINE,
+        )
         return (
             (ml_key, self.perturbation_sigma)
             + knobs + globals_key + (_bk.A_LOOP,)
