@@ -48,17 +48,34 @@ def main():
                         _no_fused_ig=True)
         return jnp.sum(y.astype(jnp.float32) * gyw)
 
+    # scan-chained steps (8 per dispatch): eager per-dispatch loops pay
+    # the axon tunnel's per-dispatch overhead (~8 ms/call measured round
+    # 5), which drowned the device time in the round-4 numbers (58.5 ms
+    # eager vs 19.5 ms device for the fused path)
+    SCAN = 8
     for name, f in (("fused_apply_ig", fused), ("composed_ig", composed)):
-        g = jax.jit(jax.grad(f, argnums=(0, 1)))
+        g = jax.grad(f, argnums=(0, 1))
+
+        def multi(p0, x0):
+            def body(carry, _):
+                p_c, x_c = carry
+                gp, gx = g(p_c, x_c)
+                return (p0 + gp * 1e-30, x0 + gx * 1e-30), gp[0]
+
+            (pf, xf), deps = jax.lax.scan(body, (p0, x0), None, length=SCAN)
+            return pf, xf, deps[-1]
+
+        jf = jax.jit(multi)
         t0 = time.time()
-        out = g(params, x)
-        np.asarray(out[0][:1])
+        pf, xf, dep = jf(params, x)
+        np.asarray(dep)
         comp = time.time() - t0
         t0 = time.time()
-        for _ in range(20):
-            out = g(params, x)
-        np.asarray(out[0][:1])
-        dt = (time.time() - t0) / 20
+        iters = 5
+        for _ in range(iters):
+            pf, xf, dep = jf(pf, xf)
+        np.asarray(dep)
+        dt = (time.time() - t0) / (iters * SCAN)
         print(f"{name}: {dt*1e3:.2f} ms/step (compile {comp:.0f}s)",
               flush=True)
 
