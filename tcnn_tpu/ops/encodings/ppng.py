@@ -225,13 +225,117 @@ class PPNG2Encoding(PPNGBase):
     #: batch chunk for the einsum intermediates ([bc,F,2,C,Q,R] per plane)
     _CHUNK = 16384
 
-    def apply_unpadded(self, params, x, *, compute_dtype=COMPUTE_DTYPE, **_):
+    # -- dense-ext fast path (TPU): the 3*F*2 plane tables are small
+    # (Q^2 rows x C*R feats; 4.7 MB bf16 at defaults) and fit VMEM
+    # together, so corner values come from ONE Pallas one-hot-matmul
+    # gather (ops/pallas/dense_ext_kernel.py) and the rank-coupled
+    # 8-corner combine (ppng_2.h:32-72) runs as [B, 384]-shaped jnp -
+    # layout-friendly, unlike the einsum path's [.., C, Q, R]
+    # intermediates whose tiny trailing dims the TPU tiling pads 32x
+    # (measured 8.6 s/step at b=2^17 on v5e; the dense-ext path is the
+    # fix, not just the OOM remat). Gradients: table grads through the
+    # kernel's scatter vjp; x grads through the jnp weight math
+    # (arbitrary order, same contract as PPNG3's binned path). ----------
+
+    def _dense_ext_shape(self):
+        """(n_levels, t_rows, feats) for the dense-ext kernel; level
+        l = d * F2 + (f*2 + s), row = q_row * Q + q_col, feat = c*R + r."""
+        F2 = self.n_frequencies * 2
+        return 3 * F2, self.n_quants * self.n_quants, \
+            self.n_features * self.rank
+
+    def _dense_ext_ok(self) -> bool:
+        from ..pallas.dense_ext_kernel import supported
+
+        if self.n_dims_to_encode != 3:
+            return False
+        nl, t_rows, feats = self._dense_ext_shape()
+        return supported(nl, t_rows, feats)
+
+    def _dense_ext_table(self, params):
+        """params [F,2,3,C,Qr,Qc,R] -> flat [NL * Q^2 * (C*R)] in the
+        dense-ext order (level-major, row-major, feat-minor)."""
+        F, C = self.n_frequencies, self.n_features
+        Q, R = self.n_quants, self.rank
+        t = params.reshape(F, 2, 3, C, Q, Q, R)
+        # (d, f, s, Qr, Qc, C, R)
+        t = t.transpose(2, 0, 1, 4, 5, 3, 6)
+        return t.reshape(-1)
+
+    def _apply_dense_ext(self, params, x, compute_dtype):
+        import jax.numpy as jnp
+
+        from ..pallas.dense_ext_kernel import dense_ext_gather
+
+        B = x.shape[0]
+        F, C = self.n_frequencies, self.n_features
+        Q, R = self.n_quants, self.rank
+        F2 = F * 2
+        NL, t_rows, feats = self._dense_ext_shape()
+        CR = C * R
+        p0, p1, w = self._quant_coords(x.astype(jnp.float32))  # [B,F,2,3]
+        p = jnp.stack([p0, p1], axis=-1)  # [B,F,2,3,2]
+        p = p.reshape(B, F2, 3, 2)  # [B, fs, dim, bit]
+
+        # plane d rows/cols: 0 -> (z, y), 1 -> (z, x), 2 -> (y, x)
+        dims = [(2, 1), (2, 0), (1, 0)]
+        # idx [B, C_corner*NL]: corner c = bit_r*2 + bit_c, level
+        # l = d*F2 + fs, row = p_rd[bit_r]*Q + p_cd[bit_c]
+        cols = []
+        for c in range(4):
+            br, bc = c >> 1, c & 1
+            lvl = []
+            for d, (rd, cd) in enumerate(dims):
+                lvl.append(p[:, :, rd, br] * float(Q) + p[:, :, cd, bc])
+            cols.append(jnp.concatenate(lvl, axis=1))  # [B, NL]
+        idx = jnp.concatenate(cols, axis=1)  # [B, 4*NL]
+
+        picks = dense_ext_gather(NL, t_rows, feats, 4,
+                                 self._dense_ext_table(params), idx)
+        picks = picks.astype(jnp.float32)  # [B, 4*NL*CR]
+
+        def P(d, br, bc):
+            # [B, F2*CR] block for plane d at corner (bit_row, bit_col)
+            c = br * 2 + bc
+            off = (c * NL + d * F2) * CR
+            return jax.lax.dynamic_slice_in_dim(picks, off, F2 * CR, 1)
+
+        def wexp(dim, bit):
+            wd = w.reshape(B, F2, 3)[:, :, dim]
+            wd = wd if bit else 1.0 - wd
+            # [B, F2] -> [B, F2*CR] (repeat each fs over its CR feats)
+            return jnp.repeat(wd, CR, axis=1)
+
+        out = jnp.zeros((B, F2 * CR), jnp.float32)
+        for corner in range(8):
+            a = (corner >> 2) & 1  # x bit (w[...,0])
+            b2 = (corner >> 1) & 1  # y bit (w[...,1])
+            c2 = corner & 1  # z bit (w[...,2])
+            weight = wexp(0, a) * wexp(1, b2) * wexp(2, c2)
+            out = out + weight * (
+                P(0, c2, b2) * P(1, c2, a) * P(2, b2, a)
+            )
+        # rank sum: feat = c*R + r -> [B, F2, C]
+        out = out.reshape(B, F2, C, R).sum(axis=-1)
+        return out.reshape(B, F2 * C).astype(compute_dtype)
+
+    def apply_unpadded(self, params, x, *, compute_dtype=COMPUTE_DTYPE,
+                       impl=None, **_):
         """MXU-native formulation: each plane's 2x2 corner sub-block is
         extracted with one-hot einsums over the Q axes (gathers are the
         slowest primitive on TPU - and under autodiff the transposed
         einsums become matmul scatters, replacing the XLA scatter-add that
         dominated PPNG2's backward); the 8-corner rank-coupled combine
         (ppng_2.h:32-39) then runs on the tiny [.., 2, 2] blocks."""
+        use_pallas = impl == "pallas" or (
+            impl in (None, "auto") and jax.default_backend() == "tpu"
+        )
+        if use_pallas and self._dense_ext_ok():
+            return self._apply_dense_ext(params, x, compute_dtype)
+        if impl == "pallas":
+            raise NotImplementedError(
+                "PPNG2 config unsupported by the dense-ext Pallas path"
+            )
         B = x.shape[0]
         F, C = self.n_frequencies, self.n_features
         Q, R = self.n_quants, self.rank
@@ -285,11 +389,18 @@ class PPNG2Encoding(PPNGBase):
             out = chunk_fn(x)
         else:
             # bound the per-plane einsum intermediates; pad to a chunk
-            # multiple and run chunks sequentially
+            # multiple and run chunks sequentially. chunk_fn is
+            # REMATERIALIZED: under autodiff, lax.map otherwise stacks
+            # every chunk's einsum residuals ([nb, bc, F, 2, C, R] f32 -
+            # whose trailing (4, 4) dims the TPU (sublane, lane) tiling
+            # pads 32x), which OOMed HBM at b=2^17 on v5e (75 GB of a
+            # 16 GB chip, round-5 receipt). Recomputing the chunk forward
+            # in the backward keeps only [bc, D] inputs per chunk live.
             nb = -(-B // self._CHUNK)
             xp = jnp.pad(x, ((0, nb * self._CHUNK - B), (0, 0)))
             out = jax.lax.map(
-                chunk_fn, xp.reshape(nb, self._CHUNK, x.shape[1])
+                jax.checkpoint(chunk_fn),
+                xp.reshape(nb, self._CHUNK, x.shape[1]),
             ).reshape(nb * self._CHUNK, -1)[:B]
         return out.astype(compute_dtype)
 

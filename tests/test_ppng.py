@@ -265,3 +265,125 @@ def test_padding():
     )
     assert y.shape == (2, 16)
     np.testing.assert_allclose(np.asarray(y[:, 8:]), 0.0)
+
+
+def test_ppng2_dense_ext_parity():
+    """The TPU dense-ext fast path (ops/pallas/dense_ext_kernel.py via
+    PPNG2._apply_dense_ext) matches the einsum path: forward, both
+    gradients, and the eikonal-pattern second order (round 5: the einsum
+    path measured 8.6 s/step at b=2^17 on v5e; dense-ext runs 64.5 ms)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    enc = PPNG2Encoding(3, n_quants=16, n_frequencies=2, n_features=2,
+                        rank=2)
+    assert enc._dense_ext_ok()
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.normal(size=(enc.n_params,)) * 0.7, jnp.float32)
+    x = jnp.asarray(rng.uniform(0.02, 0.98, (300, 3)), jnp.float32)
+    ct = jnp.asarray(rng.normal(size=(300, enc.n_output_dims)), jnp.float32)
+
+    def loss(pp, xx, impl):
+        return jnp.sum(
+            enc.apply_unpadded(pp, xx, compute_dtype=jnp.float32,
+                               impl=impl) * ct
+        )
+
+    y_ref = enc.apply_unpadded(p, x, compute_dtype=jnp.float32, impl="xla")
+    gp_ref, gx_ref = jax.grad(loss, argnums=(0, 1))(p, x, "xla")
+    with pltpu.force_tpu_interpret_mode():
+        y = enc.apply_unpadded(p, x, compute_dtype=jnp.float32,
+                               impl="pallas")
+        gp, gx = jax.grad(loss, argnums=(0, 1))(p, x, "pallas")
+    assert float(jnp.abs(y - y_ref).max() / jnp.abs(y_ref).max()) < 5e-3
+    for a, b in ((gp, gp_ref), (gx, gx_ref)):
+        rel = float(jnp.linalg.norm(a - b) / (jnp.linalg.norm(b) + 1e-9))
+        assert rel < 2e-2, rel
+
+    def eik(impl):
+        def f(pp):
+            gx_ = jax.grad(
+                lambda xx: jnp.sum(
+                    enc.apply_unpadded(pp, xx, compute_dtype=jnp.float32,
+                                       impl=impl)
+                )
+            )(x)
+            return jnp.sum(gx_ * gx_)
+
+        return f
+
+    ref2 = jax.grad(eik("xla"))(p)
+    with pltpu.force_tpu_interpret_mode():
+        got2 = jax.grad(eik("pallas"))(p)
+    rel = float(jnp.linalg.norm(got2 - ref2) / (jnp.linalg.norm(ref2) + 1e-9))
+    assert rel < 3e-2, rel
+
+
+def test_dense_ext_kernel_exactness():
+    """dense_ext_gather returns exact bf16 table entries; its scatter vjp
+    is the exact transpose (reference accumulation, bf16-rhs class)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tcnn_tpu.ops.pallas import dense_ext_kernel as dk
+
+    NL, T, F, C, B = 3, 256, 16, 4, 700
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(NL * T * F,)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, T, size=(B, C * NL)), jnp.float32)
+    assert dk.supported(NL, T, F)
+    with pltpu.force_tpu_interpret_mode():
+        y = dk.dense_ext_gather(NL, T, F, C, table, idx)
+    t = np.asarray(table).reshape(NL, T, F)
+    ix = np.asarray(idx).astype(int).reshape(B, C, NL)
+    ref = np.zeros((B, C, NL, F), np.float32)
+    for b in range(B):
+        for c in range(C):
+            for l in range(NL):
+                ref[b, c, l] = t[l, ix[b, c, l]]
+    ref_bf = np.asarray(jnp.asarray(ref, jnp.bfloat16), np.float32)
+    assert np.array_equal(np.asarray(y, np.float32),
+                          ref_bf.reshape(B, C * NL * F))
+
+    ct = jnp.asarray(rng.normal(size=(B, C * NL * F)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(
+            lambda t_: jnp.sum(
+                dk.dense_ext_gather(NL, T, F, C, t_, idx).astype(
+                    jnp.float32) * ct
+            )
+        )(table)
+    gr = np.zeros((NL, T, F), np.float32)
+    ct_ = np.asarray(ct).reshape(B, C, NL, F)
+    for b in range(B):
+        for c in range(C):
+            for l in range(NL):
+                gr[l, ix[b, c, l]] += ct_[b, c, l]
+    rel = np.abs(np.asarray(g) - gr.reshape(-1)).max() / np.abs(gr).max()
+    assert rel < 2e-2, rel
+
+
+def test_ppng2_big_batch_remat():
+    """b > _CHUNK runs the rematerialized chunked einsum path (the lax.map
+    residual stacking OOMed HBM at b=2^17 before round 5) and matches the
+    single-chunk math, gradients included."""
+    enc = PPNG2Encoding(3, n_quants=8, n_frequencies=1, n_features=2,
+                        rank=2)
+    old = PPNG2Encoding._CHUNK
+    try:
+        PPNG2Encoding._CHUNK = 64
+        rng = np.random.default_rng(1)
+        p = jnp.asarray(rng.normal(size=(enc.n_params,)), jnp.float32)
+        x = jnp.asarray(rng.uniform(0.02, 0.98, (200, 3)), jnp.float32)
+
+        def s(pp):
+            return jnp.sum(
+                enc.apply_unpadded(pp, x, compute_dtype=jnp.float32,
+                                   impl="xla")
+            )
+
+        chunked, gchunked = jax.value_and_grad(s)(p)
+    finally:
+        PPNG2Encoding._CHUNK = old
+    whole, gwhole = jax.value_and_grad(s)(p)
+    np.testing.assert_allclose(float(chunked), float(whole), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gchunked), np.asarray(gwhole),
+                               rtol=1e-4, atol=1e-6)
