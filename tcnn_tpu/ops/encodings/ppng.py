@@ -520,6 +520,63 @@ class PPNG3Encoding(PPNGBase):
         y = binned_ext_lookup(bp, self._premix_table(params), idx, cw)
         return y.astype(compute_dtype)
 
+    # -- dense-ext path (ops/pallas/dense_ext_kernel.py) ------------------
+    #: route PPNG3 through the dense-ext gather when t_rows <= this.
+    #: MEASURED on v5e (train step b=2^17, scripts in PERF.md round 5):
+    #: Q=16 10.9 ms (the binned machinery refuses t_rows < 2^14 - this
+    #: window previously had NO Pallas path), Q=32 45.3 ms vs binned's
+    #: 429, Q=64 (the factory default, 2^18 rows/level) 295 ms vs
+    #: binned's 438 - dense-ext wins the whole window its VMEM budget
+    #: admits, so the threshold is set at that budget's edge and the
+    #: binned path keeps only the beyond-VMEM configs.
+    _DENSE_EXT_MAX_ROWS = 1 << 18
+
+    def _dense_ext_ok(self) -> bool:
+        from ..pallas.dense_ext_kernel import supported
+
+        t_rows = self.n_quants ** self.n_dims_to_encode
+        return t_rows <= self._DENSE_EXT_MAX_ROWS and supported(
+            self.n_frequencies * 2, t_rows, self.n_features
+        )
+
+    def _pick_natural(self, x):
+        """Per-pick NATURAL flat rows (sum_i p_i * Q^i - the parameter
+        layout's own order, no premix) and weights, ext layout
+        (col c*NL + (f*2+s)); cw differentiable in x."""
+        F, D = self.n_frequencies, self.n_dims_to_encode
+        Q = self.n_quants
+        B, NL = x.shape[0], F * 2
+        p0, p1, w = self._quant_coords(x.astype(jnp.float32))  # [B,F,2,D]
+        p = jnp.stack([p0, p1], axis=-1).astype(jnp.float32)
+        idx_cols, w_cols = [], []
+        for c in range(1 << D):
+            row = 0.0
+            weight = 1.0
+            for i in range(D):
+                bit = (c >> i) & 1
+                row = row + p[..., i, bit] * float(Q**i)
+                weight = weight * (w[..., i] if bit else 1.0 - w[..., i])
+            idx_cols.append(row.reshape(B, NL))
+            w_cols.append(weight.reshape(B, NL))
+        return (
+            jnp.concatenate(idx_cols, axis=1),
+            jnp.concatenate(w_cols, axis=1),
+        )
+
+    def _apply_dense_ext(self, params, x, compute_dtype):
+        from ..pallas.dense_ext_kernel import dense_ext_gather
+
+        F, D, C = self.n_frequencies, self.n_dims_to_encode, self.n_features
+        Q = self.n_quants
+        B, NL, CC = x.shape[0], F * 2, 1 << D
+        t_rows = Q**D
+        idx, cw = self._pick_natural(x)
+        # params are ALREADY level-major row-major f-minor in natural order
+        picks = dense_ext_gather(NL, t_rows, C, CC, params, idx)
+        picks = picks.reshape(B, CC, NL * C).astype(jnp.float32)
+        cw_e = jnp.repeat(cw.reshape(B, CC, NL), C, axis=2)
+        return jnp.sum(picks * cw_e, axis=1).astype(compute_dtype)
+
     def count_binned_drops(self, x) -> int:
         """Exact dropped-pick count for one batch on the fast path (the
         GridEncoding.count_binned_drops analog - same signature; drops
@@ -540,12 +597,16 @@ class PPNG3Encoding(PPNGBase):
             impl in (None, "auto") and jax.default_backend() == "tpu"
         )
         if use_pallas:
+            if self._dense_ext_ok():
+                # small tables: VMEM-resident dense-ext gather (covers
+                # the Q<=32 D=3 window the binned machinery refuses)
+                return self._apply_dense_ext(params, x, compute_dtype)
             bp = self._fast_plan()
             if bp is not None:
                 return self._apply_binned(params, x, compute_dtype)
             if impl == "pallas":
                 raise NotImplementedError(
-                    "PPNG3 config unsupported by the binned Pallas path"
+                    "PPNG3 config unsupported by the Pallas paths"
                 )
         B = x.shape[0]
         F, D, C = self.n_frequencies, self.n_dims_to_encode, self.n_features

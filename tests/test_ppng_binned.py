@@ -23,6 +23,26 @@ from tcnn_tpu.ops.encodings.ppng import PPNG3Encoding
 F32 = jnp.float32
 
 
+@pytest.fixture(autouse=True)
+def _force_binned_routing(monkeypatch):
+    """Round 5 routed every config the dense-ext kernel's VMEM budget
+    admits (t_rows <= 2^18) away from the binned path; these tests exist
+    to cover the BINNED machinery, so pin the routing back."""
+    monkeypatch.setattr(PPNG3Encoding, "_DENSE_EXT_MAX_ROWS", 0)
+
+
+def test_default_routing_prefers_dense_ext():
+    """The factory default (Q=64, t_rows=2^18) routes the dense-ext path
+    (measured 295 vs 438 ms/step at b=2^17 on v5e); the binned path keeps
+    beyond-VMEM tables."""
+    enc = PPNG3Encoding(3)
+    enc._DENSE_EXT_MAX_ROWS = 1 << 18  # the fixture zeroed the class attr
+    assert enc._dense_ext_ok()
+    big = PPNG3Encoding(3, n_quants=128)  # 2^21 rows -> over budget
+    big._DENSE_EXT_MAX_ROWS = 1 << 22
+    assert not big._dense_ext_ok()
+
+
 def _enc(**kw):
     kw.setdefault("n_quants", 32)
     kw.setdefault("n_frequencies", 2)

@@ -151,12 +151,17 @@ def test_fused_train_step_production_shape():
     assert np.all(np.isfinite(p))
 
 
-def test_ppng3_binned_production_shape():
-    """PPNG3 factory defaults (Q=64 -> 2^18 rows/level, 12 levels): the
-    binned ext_iw path vs the XLA oracle, fwd + table/input grads."""
+@pytest.mark.parametrize("path", ["dense", "binned"])
+def test_ppng3_binned_production_shape(path):
+    """PPNG3 factory defaults (Q=64 -> 2^18 rows/level, 12 levels) vs the
+    XLA oracle, fwd + table/input grads - on BOTH Pallas routes: the
+    dense-ext path (the round-5 default at this size, 295 vs 438 ms/step)
+    and the binned ext_iw path (still the beyond-VMEM route)."""
     from tcnn_tpu.ops.encodings.ppng import PPNG3Encoding
 
     enc = PPNG3Encoding(3)  # Q64/F6/C4 -> 12.6 M params
+    enc._DENSE_EXT_MAX_ROWS = (1 << 18) if path == "dense" else 0
+    assert enc._dense_ext_ok() == (path == "dense")
     assert enc._fast_plan() is not None
     rng = np.random.default_rng(0)
     params = jnp.asarray(
