@@ -45,7 +45,10 @@ from . import grid_kernel as gk
 
 LANE = 128
 
-#: batch tile (samples per kernel instance); C*NT lanes per operand block
+#: batch tile (samples per kernel instance); C*NT lanes per operand
+#: block. Swept on v5e (train step b=2^17, round 5): PPNG3 Q=64
+#: 300/295/292 ms and PPNG2 62.5/64.7/65.0 ms at NT=256/512/1024 -
+#: within noise, 512 stays.
 NT = 512
 #: VMEM budget for the packed tables (bf16) - beyond it, callers fall
 #: back (PPNG2 -> einsum path; others -> their own fallback)
