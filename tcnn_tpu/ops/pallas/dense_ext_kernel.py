@@ -81,7 +81,7 @@ def unpack_table_grads(n_levels: int, t_rows: int, f: int, packed):
     return packed.reshape(n_levels * t_rows * f)
 
 
-def _gather_kernel(idxT_ref, table_ref, out_ref, *, levels, f, c):
+def _gather_kernel(idxT_ref, table_ref, out_ref, *, levels, f):
     """One batch tile: idxT [NL, C*nt] i32 -> out [NL*F, C*nt] bf16."""
     lq = LANE // f
     idxT = idxT_ref[:]
@@ -121,7 +121,7 @@ def _gather_kernel(idxT_ref, table_ref, out_ref, *, levels, f, c):
     out_ref[:] = jnp.concatenate(rows, axis=0).astype(out_ref.dtype)
 
 
-def _scatter_kernel(idxT_ref, ctT_ref, gtable_ref, *, levels, f, c):
+def _scatter_kernel(idxT_ref, ctT_ref, gtable_ref, *, levels, f):
     """One batch tile: ct [NL*F, C*nt] f32 scattered into the packed
     gradient table [NL*h, 128] f32 (accumulated across tiles)."""
     lq = LANE // f
@@ -200,7 +200,7 @@ def _gather(n_levels, t_rows, f, c, table_flat, idx):
     packed = pack_tables(n_levels, t_rows, f, table_flat)
     levels = _levels(n_levels, t_rows, f)
     cnt = c * NT
-    kern = functools.partial(_gather_kernel, levels=levels, f=f, c=c)
+    kern = functools.partial(_gather_kernel, levels=levels, f=f)
     out = pl.pallas_call(
         kern,
         grid=(padded // NT,),
@@ -257,7 +257,7 @@ def _scatter(n_levels, t_rows, f, c, idx, ct):
     lq = LANE // f
     h = t_rows // lq
     cnt = c * NT
-    kern = functools.partial(_scatter_kernel, levels=levels, f=f, c=c)
+    kern = functools.partial(_scatter_kernel, levels=levels, f=f)
     gtable = pl.pallas_call(
         kern,
         grid=(padded // NT,),
