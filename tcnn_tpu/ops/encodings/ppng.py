@@ -176,6 +176,12 @@ class PPNG1Encoding(PPNGBase):
             * self.rank
         )
 
+    # NOTE (round 5, measured dead end): routing PPNG1 through the
+    # dense-ext kernel (raw endpoint picks + jnp lerp/product) runs the
+    # b=2^17 train step at 18.2 ms vs this einsum path's 9.0 ms on v5e -
+    # the 2-nonzero weight-vector einsum below already IS the MXU gather
+    # (with the lerp fused into the matmul), and the dense-ext round trip
+    # only adds picks traffic. Do not re-route.
     def apply_unpadded(self, params, x, *, compute_dtype=COMPUTE_DTYPE, **_):
         B = x.shape[0]
         F, D, C = self.n_frequencies, self.n_dims_to_encode, self.n_features

@@ -55,12 +55,17 @@ NT = 512
 TABLE_BUDGET = 48 * 1024 * 1024
 
 
+def _lq(t_rows: int, f: int) -> int:
+    """Effective rows-per-lane-group: tables smaller than a full lane
+    group (t_rows < 128/F) pack into the low lanes and the rest pad."""
+    return min(LANE // f, t_rows)
+
+
 def supported(n_levels: int, t_rows: int, f: int) -> bool:
     """Whether (n_levels, t_rows, f) fits this kernel's layout + VMEM."""
     if f not in (1, 2, 4, 8, 16, 32, 64, 128):
         return False
-    lq = LANE // f
-    if t_rows % lq != 0:
+    if t_rows % _lq(t_rows, f) != 0:
         return False
     if n_levels * t_rows * f * 2 > TABLE_BUDGET:
         return False
@@ -69,21 +74,26 @@ def supported(n_levels: int, t_rows: int, f: int) -> bool:
 
 def pack_tables(n_levels: int, t_rows: int, f: int, flat):
     """[NL * t_rows * F] flat (level-major, row-major, f-minor) ->
-    packed [NL * h, 128] bf16 with lane = (row % LQ) * F + f."""
-    lq = LANE // f
+    packed [NL * h, 128] bf16 with lane = (row % LQ) * F + f (lanes
+    beyond LQ*F zero-padded when the table is narrower than a group)."""
+    lq = _lq(t_rows, f)
     h = t_rows // lq
-    t = flat.reshape(n_levels, h, lq * f)  # lane = (row%LQ)*F + f already
-    return t.reshape(n_levels * h, LANE).astype(jnp.bfloat16)
+    t = flat.reshape(n_levels * h, lq * f)  # lane = (row%LQ)*F + f already
+    if lq * f < LANE:
+        t = jnp.pad(t, ((0, 0), (0, LANE - lq * f)))
+    return t.astype(jnp.bfloat16)
 
 
 def unpack_table_grads(n_levels: int, t_rows: int, f: int, packed):
     """Inverse of pack_tables for the f32 gradient table."""
+    lq = _lq(t_rows, f)
+    if lq * f < LANE:
+        packed = packed[:, : lq * f]
     return packed.reshape(n_levels * t_rows * f)
 
 
-def _gather_kernel(idxT_ref, table_ref, out_ref, *, levels, f):
+def _gather_kernel(idxT_ref, table_ref, out_ref, *, levels, f, lq):
     """One batch tile: idxT [NL, C*nt] i32 -> out [NL*F, C*nt] bf16."""
-    lq = LANE // f
     idxT = idxT_ref[:]
     cnt = idxT.shape[1]
     hiT = idxT // lq
@@ -121,10 +131,9 @@ def _gather_kernel(idxT_ref, table_ref, out_ref, *, levels, f):
     out_ref[:] = jnp.concatenate(rows, axis=0).astype(out_ref.dtype)
 
 
-def _scatter_kernel(idxT_ref, ctT_ref, gtable_ref, *, levels, f):
+def _scatter_kernel(idxT_ref, ctT_ref, gtable_ref, *, levels, f, lq):
     """One batch tile: ct [NL*F, C*nt] f32 scattered into the packed
     gradient table [NL*h, 128] f32 (accumulated across tiles)."""
-    lq = LANE // f
     idxT = idxT_ref[:]
     cnt = idxT.shape[1]
     hiT = idxT // lq
@@ -148,7 +157,7 @@ def _scatter_kernel(idxT_ref, ctT_ref, gtable_ref, *, levels, f):
         # [128, C*nt]: the level's ct block [F, C*nt] tiled LQ times over
         # sublanes (row j carries feature j % F), masked to the pick slab
         ct_l = ctT_ref[l * f : (l + 1) * f, :]
-        tiled = jnp.concatenate([ct_l] * lq, axis=0)
+        tiled = jnp.concatenate([ct_l] * (LANE // f), axis=0)
         return jnp.where(_mask(l), tiled, 0.0).astype(jnp.bfloat16)
 
     pend = {0: (_build(0, *levels[0]), _rhs(0))}
@@ -165,8 +174,7 @@ def _scatter_kernel(idxT_ref, ctT_ref, gtable_ref, *, levels, f):
 
 
 def _levels(n_levels: int, t_rows: int, f: int):
-    lq = LANE // f
-    h = t_rows // lq
+    h = t_rows // _lq(t_rows, f)
     return tuple((l * h, h) for l in range(n_levels))
 
 
@@ -200,7 +208,8 @@ def _gather(n_levels, t_rows, f, c, table_flat, idx):
     packed = pack_tables(n_levels, t_rows, f, table_flat)
     levels = _levels(n_levels, t_rows, f)
     cnt = c * NT
-    kern = functools.partial(_gather_kernel, levels=levels, f=f)
+    kern = functools.partial(_gather_kernel, levels=levels, f=f,
+                         lq=_lq(t_rows, f))
     out = pl.pallas_call(
         kern,
         grid=(padded // NT,),
@@ -254,10 +263,10 @@ def _scatter(n_levels, t_rows, f, c, idx, ct):
     ctT = ct.reshape(padded, c, n_levels * f).transpose(2, 1, 0)
     ctT = ctT.reshape(n_levels * f, c * padded).astype(jnp.float32)
     levels = _levels(n_levels, t_rows, f)
-    lq = LANE // f
-    h = t_rows // lq
+    h = t_rows // _lq(t_rows, f)
     cnt = c * NT
-    kern = functools.partial(_scatter_kernel, levels=levels, f=f)
+    kern = functools.partial(_scatter_kernel, levels=levels, f=f,
+                         lq=_lq(t_rows, f))
     gtable = pl.pallas_call(
         kern,
         grid=(padded // NT,),
