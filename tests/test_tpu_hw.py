@@ -350,3 +350,56 @@ def test_binned_a_loop_modes_on_hw(monkeypatch):
         pytest.skip(
             "Mosaic rejected both A_LOOP modes on this stack (documented)"
         )
+
+
+def test_ppng2_dense_ext_production_shape():
+    """PPNG2 factory defaults (36 plane tables of Q^2=4096 x 16) on the
+    dense-ext route vs the einsum oracle at b=2^16 - the round-5 path
+    that took the train step from 8613 to 64.5 ms at b=2^17."""
+    from tcnn_tpu.ops.encodings.ppng import PPNG2Encoding
+
+    enc = PPNG2Encoding(3)  # Q64/F6/C4/R4
+    assert enc._dense_ext_ok()
+    rng = np.random.default_rng(0)
+    params = jnp.asarray(
+        rng.uniform(-0.7, 0.7, enc.n_params).astype(np.float32)
+    )
+    b = 1 << 16
+    x = jnp.asarray(rng.uniform(0.02, 0.98, (b, 3)), jnp.float32)
+    gyw = jnp.asarray(
+        rng.standard_normal((b, enc.n_output_dims)).astype(np.float32)
+    )
+
+    y = jax.jit(
+        lambda p, xx: enc.apply_unpadded(
+            p, xx, compute_dtype=jnp.float32, impl="pallas"
+        )
+    )(params, x)
+    y_ref = np.asarray(
+        enc.apply_unpadded(params, x[:2048], compute_dtype=jnp.float32,
+                           impl="xla")
+    )
+    # bf16 plane entries, f32 combine: three bf16 factors per corner term
+    np.testing.assert_allclose(
+        np.asarray(y[:2048], np.float32), y_ref, atol=2e-2, rtol=2e-2
+    )
+
+    def loss(impl):
+        def f(p, xx):
+            return jnp.sum(
+                enc.apply_unpadded(
+                    p, xx, compute_dtype=jnp.float32, impl=impl
+                ) * gyw
+            )
+
+        return f
+
+    gp, gx = jax.jit(jax.grad(loss("pallas"), argnums=(0, 1)))(params, x)
+    gp_ref, gx_ref = jax.jit(jax.grad(loss("xla"), argnums=(0, 1)))(
+        params, x
+    )
+    for a, b_ in ((gp, gp_ref), (gx, gx_ref)):
+        rel = float(
+            jnp.linalg.norm(a - b_) / (jnp.linalg.norm(b_) + 1e-12)
+        )
+        assert rel < 2e-2, rel
