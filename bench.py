@@ -95,6 +95,7 @@ def _schedule_context():
         "infer_variant": tk.INFER_VARIANT or tk.PICK_VARIANT,
         "infer_tile": tk.INFER_TILE,
         "vt_lomask": tk.VT_LOMASK,
+        "vt_fl": tk.VT_FL,
     }
 
 
@@ -158,6 +159,7 @@ def main():
         tk.INFER_VARIANT = stored.infer_variant
         tk.INFER_TILE = stored.infer_tile
         tk.VT_LOMASK = stored.vt_lomask
+        tk.VT_FL = stored.vt_fl
         sys.stderr.write(
             f"# schedule: persisted winners for {device_kind} | {sched_key}\n"
         )
@@ -166,11 +168,13 @@ def main():
         jax.default_backend() == "tpu" or autotune == "force"
     ):
         candidates = [
-            (False, 2, "vt", "bcast"),  # r4 winner: vt tile 512 + lazy masks
-            (False, 2, "vt", "mm"),     # vt tile 512, all-levels mask matmul
-            (False, 4, "vt", "bcast"),  # vt tile 256
-            (False, 4, "v3b", "mm"),    # round-3 winner (MXU lane-pick)
-            (False, 4, "base", "mm"),   # round-2 production schedule
+            # r5 winner: vt + lazy masks + f-on-lanes packing
+            (False, 2, "vt", "bcast", True),
+            (False, 2, "vt", "bcast", False),  # r4 winner (no fl)
+            (False, 2, "vt", "mm", False),  # all-levels mask matmul
+            (False, 4, "vt", "bcast", True),   # vt tile 256
+            (False, 4, "v3b", "mm", False),  # round-3 winner (MXU pick)
+            (False, 4, "base", "mm", False),  # round-2 production schedule
         ]
         x_tune = jax.random.uniform(jax.random.PRNGKey(3), (BATCH_SIZE, 2))
         t_tune = sample_image_quad_packed(quad, h, w, x_tune)
@@ -179,7 +183,7 @@ def main():
             if _tune_skip(f"train {knobs}"):
                 continue
             (tk.RECOMPUTE_MASKS, tk.FUSED_TILE_DIV, tk.PICK_VARIANT,
-             tk.VT_LOMASK) = knobs
+             tk.VT_LOMASK, tk.VT_FL) = knobs
             t_cand = time.time()
             try:
                 st = jax.tree.map(jnp.copy, trainer.state)
@@ -203,7 +207,9 @@ def main():
                 )
             tune_spent[0] += time.time() - t_cand
         (tk.RECOMPUTE_MASKS, tk.FUSED_TILE_DIV, tk.PICK_VARIANT,
-         tk.VT_LOMASK) = best[1] if best else (False, 4, "base", "bcast")
+         tk.VT_LOMASK, tk.VT_FL) = (
+            best[1] if best else (False, 4, "base", "bcast", True)
+        )
         sys.stderr.write(f"# autotune picked {best[1] if best else 'default'}\n")
     train_schedule = _schedule_context()  # before the inference re-tune
 
@@ -339,6 +345,7 @@ def main():
                 infer_variant=tk.INFER_VARIANT,
                 infer_tile=tk.INFER_TILE,
                 vt_lomask=tk.VT_LOMASK,
+                vt_fl=tk.VT_FL,
             ),
         )
         sys.stderr.write(f"# schedule: persisted for {device_kind} | {sched_key}\n")

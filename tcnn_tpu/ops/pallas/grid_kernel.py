@@ -238,6 +238,60 @@ def repack_table(plan: GridKernelPlan, params):
     return jnp.concatenate(per_level, axis=0).astype(jnp.bfloat16)
 
 
+def fl_levels(plan: GridKernelPlan):
+    """f-on-lanes level geometry: ((row_off, h), ...) per level plus the
+    total height of the packed table [fl_h_total, 128] with
+    lane = (row % LQ) * F + f, LQ = 128 // F (dense_ext_kernel.py's
+    packing). Each level's height is ceil(size / LQ) - F times the
+    standard packing's - but the gather's candidate block shrinks to
+    [128, C*nt]: half the f32 write+read traffic at F=2, and one mask
+    pass picks all F features (see train_kernel.VT_FL)."""
+    lq = LANE // plan.f
+    out, off = [], 0
+    for level in plan.levels:
+        h = -(-level.size // lq)
+        out.append((off, h))
+        off += h
+    return tuple(out), off
+
+
+def repack_table_fl(plan: GridKernelPlan, params):
+    """flat fp32 [n_params] -> bf16 [fl_h_total, 128]: row r of level l
+    sits at packed[fl_off + r // LQ, (r % LQ) * F + f] for feature f.
+    Because the flat layout is already row-major f-minor, the uniform
+    case is a PURE reshape (cheaper than repack_table's swapaxes)."""
+    F = plan.f
+    lq = LANE // F
+    if _uniform_levels(plan) and plan.levels[0].size % lq == 0:
+        nl = plan.n_levels
+        h = plan.levels[0].size // lq
+        return params.reshape(nl * h, lq * F).astype(jnp.bfloat16)
+    table = params.reshape(-1, F)  # [total_rows, F]
+    per_level = []
+    for lvl, level in enumerate(plan.levels):
+        off = plan.offsets[lvl]
+        h = -(-level.size // lq)
+        rows = table[off : off + level.size]  # [size, F]
+        rows = jnp.pad(rows, ((0, h * lq - level.size), (0, 0)))
+        per_level.append(rows.reshape(h, lq * F))
+    return jnp.concatenate(per_level, axis=0).astype(jnp.bfloat16)
+
+
+def unpack_table_grads_fl(plan: GridKernelPlan, packed, n_params: int):
+    """[fl_h_total, 128] f32 -> flat fp32 [n_params] (repack_table_fl's
+    inverse)."""
+    F = plan.f
+    lq = LANE // F
+    if _uniform_levels(plan) and plan.levels[0].size % lq == 0:
+        return packed.reshape(-1)
+    parts = []
+    geom, _ = fl_levels(plan)
+    for level, (off, h) in zip(plan.levels, geom):
+        block = packed[off : off + h]  # [h, 128]
+        parts.append(block.reshape(h * lq, F)[: level.size].reshape(-1))
+    return jnp.concatenate(parts)
+
+
 def unpack_table_grads(plan: GridKernelPlan, packed, n_params: int):
     """[H_total, 128*F] f32 -> flat fp32 [n_params]."""
     F = plan.f

@@ -39,6 +39,9 @@ class Schedule:
     #: vt lane-mask build form ("mm" = all-levels expansion matmul,
     #: "bcast" = per-level transient build; see train_kernel.VT_LOMASK)
     vt_lomask: str = "bcast"
+    #: vt f-on-lanes table packing (half the gather-candidate traffic at
+    #: F=2; see train_kernel.VT_FL)
+    vt_fl: bool = True
 
     def as_tuple(self):
         return (
@@ -48,6 +51,7 @@ class Schedule:
             self.infer_variant,
             self.infer_tile,
             self.vt_lomask,
+            self.vt_fl,
         )
 
     def to_json(self) -> dict:

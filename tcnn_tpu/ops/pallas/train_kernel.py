@@ -163,6 +163,39 @@ VT_LOMASK = "bcast"
 #: receipt for "the index math is not the bottleneck".
 VT_PIPELINE = False
 
+#: vt f-on-lanes table packing (dense_ext_kernel.py's layout): lane =
+#: (row % LQ) * F + f with LQ = 128 // F, so the gather's candidate
+#: block is gT [128, C*nt] instead of [128F, C*nt] - HALF the f32
+#: write+read traffic at F=2 (the pick's intrinsic-gT-traffic cost that
+#: round 5 root-caused as the one real expense above the matmul floor),
+#: and ONE mask pass + an aligned-slab tree reduce picks all F features
+#: (the standard layout pays F where passes). The price: hi = row // LQ
+#: makes the one-hot F times taller (2x build compares + bf16 traffic
+#: at F=2). MEASURED on v5e (config_hash b=2^18, scan-chained:
+#: scripts/probe_vt_flanes.py + /tmp-style end-to-end run): standalone
+#: encoding loop 20.17 -> 18.85 ms, fused train step 19.64 -> 18.20 ms
+#: (13.35 -> 14.41 M samples/s), forward-only 10.10 -> 9.10 ms
+#: (25.9 -> 28.8 M samples/s). Values are BIT-identical to the standard
+#: packing (one-hot matmuls select the same entries; the tree reduce
+#: reassociates exact zeros only) - pinned by
+#: test_vt_fl_matches_standard_layout. Applies when
+#: F in {2, 4, 8} and the other vt knobs are at forms that have an fl
+#: build (bcast oh, sum pick, bcast/cache lomask); F=1's LQ=128 IS the
+#: standard layout, and the mm forms keep their own machinery.
+VT_FL = True
+
+
+def _use_fl(plan) -> bool:
+    """Whether the vt kernels run the f-on-lanes layout at the current
+    knobs (see VT_FL). Callers must already have resolved variant == vt."""
+    return (
+        VT_FL
+        and plan.f in (2, 4, 8)
+        and VT_PICK == "sum"
+        and VT_OH == "bcast"
+        and VT_LOMASK in ("bcast", "cache")
+    )
+
 
 def _fused_plan_for(model):
     """Shared shape gate for every fused kernel: grid+FFMLP model, no Sine,
@@ -188,14 +221,17 @@ def _table_bytes(plan):
     return plan.h_total * 128 * plan.f * 2  # bf16 packed table
 
 
-def _cached_mask_bytes(plan, c_nt):
-    """All levels' (oh bf16, ohlo f32) masks held live across phases."""
-    return c_nt * plan.h_total * 2 + c_nt * 128 * plan.n_levels * 4
+def _cached_mask_bytes(plan, c_nt, oh_h=None):
+    """All levels' (oh bf16, ohlo f32) masks held live across phases.
+    oh_h overrides the one-hot height total (the f-on-lanes layout's
+    one-hots are F times taller - see VT_FL)."""
+    h = plan.h_total if oh_h is None else oh_h
+    return c_nt * h * 2 + c_nt * 128 * plan.n_levels * 4
 
 
-def _transient_mask_bytes(plan, c_nt):
+def _transient_mask_bytes(plan, c_nt, fl=False):
     """Pipelined builds: ~2 levels of (oh, ohlo) live at once."""
-    h_max = max(lvl.h for lvl in plan.levels)
+    h_max = max(lvl.h for lvl in plan.levels) * (plan.f if fl else 1)
     return 2 * c_nt * h_max * 2 + 2 * c_nt * 128 * 4
 
 
@@ -222,10 +258,13 @@ def supported(model, loss, perturbation_sigma: float = 0.0) -> bool:
         return False  # unknown PICK_VARIANT -> composed fallback
     nt = max(plan.batch_tile // FUSED_TILE_DIV, 128)
     c_nt = plan.n_corners * nt
+    fl = variant == "vt" and _use_fl(plan)
     mask_bytes = (
-        _transient_mask_bytes(plan, c_nt)
+        _transient_mask_bytes(plan, c_nt, fl=fl)
         if plan.stochastic or RECOMPUTE_MASKS
-        else _cached_mask_bytes(plan, c_nt)
+        else _cached_mask_bytes(
+            plan, c_nt, oh_h=gk.fl_levels(plan)[1] if fl else None
+        )
     )
     gtable_bytes = plan.h_total * 128 * plan.f * 4
     # v3b materializes lo_b [C*Nt, 128L] f32 AND the i1 mask_all (Mosaic
@@ -284,7 +323,8 @@ def supported_infer(model) -> bool:
         else 0
     )
     picked_bytes = c_nt * plan.f * plan.n_levels * 4
-    est = (_transient_mask_bytes(plan, c_nt) + idx_bytes
+    fl = variant == "vt" and _use_fl(plan)
+    est = (_transient_mask_bytes(plan, c_nt, fl=fl) + idx_bytes
            + _table_bytes(plan) + mask_all_bytes + picked_bytes)
     return est < 70 * 1024 * 1024
 
@@ -471,12 +511,13 @@ def _pick_consts_vt(plan, active):
     )
 
 
-def _index_math_vt(plan, xT, cr, want_ig=False):
+def _index_math_vt(plan, xT, cr, want_ig=False, lq=LANE):
     """xT [D, nt] -> (hiT, loT, cwT) i32/i32/f32 [L, C*nt]: the transposed
     mirror of gk._stacked_hi_lo_w_v2 (same wide-op structure; corners are
     LANE-stacked blocks, constants are [N, 1] columns broadcast over
     lanes). Only the standard interpolated path (no Nearest, no ext hash -
-    _resolve_variant downgrades those).
+    _resolve_variant downgrades those). lq: rows per packed-table lane
+    group (128 standard, 128/F under the f-on-lanes layout - see VT_FL).
 
     want_ig additionally returns (termT, bitsT, derivT) for the dy_dx
     contraction: termT [D*L, C*nt] per-dim selected factors (w or 1-w),
@@ -536,9 +577,11 @@ def _index_math_vt(plan, xT, cr, want_ig=False):
             if plan.interpolation == InterpolationType.Smoothstep
             else jnp.broadcast_to(cr["scales"], fract.shape)
         )  # [D*L, nt]
-        return (idx >> 7, idx & (LANE - 1), cw,
+        sh = lq.bit_length() - 1
+        return (idx >> sh, idx & (lq - 1), cw,
                 term, bits.astype(jnp.float32), deriv)
-    return idx >> 7, idx & (LANE - 1), cw
+    sh = lq.bit_length() - 1
+    return idx >> sh, idx & (lq - 1), cw
 
 
 def _kernel_vt(
@@ -558,6 +601,7 @@ def _kernel_vt(
     recompute,
     pipeline=False,
     ablate="",
+    fl=False,
 ):
     n_w = n_weights
     if pipeline:
@@ -602,13 +646,23 @@ def _kernel_vt(
     nt = xT.shape[1]
     F, C, L = plan.f, plan.n_corners, plan.n_levels
     cnt = C * nt
+    # f-on-lanes geometry (VT_FL): per-level (row_off, h) into the
+    # [fl_h_total, 128] packed table, lo in [0, 128/F)
+    lq = (LANE // F) if fl else LANE
+    fl_geom = gk.fl_levels(plan)[0] if fl else None
+
+    def _geom(l):
+        if fl:
+            return fl_geom[l]
+        level = plan.levels[l]
+        return level.row_off, level.h
 
     if pipeline:
         hi_s, lo_s, cw_s = im_scratch
 
         @pl.when(pl.program_id(0) == 0)
         def _seed():
-            h0, l0, c0 = _index_math_vt(plan, xT, cr)
+            h0, l0, c0 = _index_math_vt(plan, xT, cr, lq=lq)
             hi_s[:] = h0
             lo_s[:] = l0
             cw_s[:] = c0
@@ -622,12 +676,12 @@ def _kernel_vt(
             # below, so Mosaic schedules it under the gather/scatter
             # matmuls (same-ref program order keeps the writes after the
             # reads above)
-            hn, ln, wn = _index_math_vt(plan, xn_ref[:], cr)
+            hn, ln, wn = _index_math_vt(plan, xn_ref[:], cr, lq=lq)
             hi_s[:] = hn
             lo_s[:] = ln
             cw_s[:] = wn
     else:
-        hiT, loT, cwT = _index_math_vt(plan, xT, cr)
+        hiT, loT, cwT = _index_math_vt(plan, xT, cr, lq=lq)
     if ablate == "index":
         _truncate(hiT.astype(jnp.float32) + loT.astype(jnp.float32) + cwT)
         return
@@ -646,14 +700,16 @@ def _kernel_vt(
     _mask_cache = [None] * L
 
     def _lane_mask(l):
-        """Level l's [128, C*nt] lane mask (mask(j, s) = lo(l, s) == j)."""
+        """Level l's [128, C*nt] lane mask: mask(j, s) = lo(l, s) == j
+        (fl: == j // F, selecting the F-row slab of lane candidates)."""
         if VT_LOMASK == "mm":
             return mask_allT[l * LANE : (l + 1) * LANE, :]
         if _mask_cache[l] is not None:
             return _mask_cache[l]
-        m = jnp.broadcast_to(loT[l : l + 1, :], (LANE, cnt)) == (
-            jax.lax.broadcasted_iota(jnp.int32, (LANE, cnt), 0)
-        )
+        iot = jax.lax.broadcasted_iota(jnp.int32, (LANE, cnt), 0)
+        if fl:
+            iot = iot // F
+        m = jnp.broadcast_to(loT[l : l + 1, :], (LANE, cnt)) == iot
         if VT_LOMASK == "cache":
             _mask_cache[l] = m
         return m
@@ -661,17 +717,18 @@ def _kernel_vt(
     def _build(l, level):
         """One level's transposed one-hot [h, C*nt] bf16 (the VT_OH forms
         produce identical values: hi < h <= 2^15 is bf16/f32-exact)."""
-        sl = slice(level.row_off, level.row_off + level.h)
         if VT_OH == "mm":
+            sl = slice(level.row_off, level.row_off + level.h)
             hi_exp = jax.lax.dot_general(
                 eh_ref[sl, :], hiT.astype(jnp.bfloat16),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             return (hi_exp == iota_rows_ref[sl, :]).astype(jnp.bfloat16)
-        hr = jnp.broadcast_to(hiT[l : l + 1, :], (level.h, cnt))
+        h = _geom(l)[1]
+        hr = jnp.broadcast_to(hiT[l : l + 1, :], (h, cnt))
         return (
-            hr == jax.lax.broadcasted_iota(jnp.int32, (level.h, cnt), 0)
+            hr == jax.lax.broadcasted_iota(jnp.int32, (h, cnt), 0)
         ).astype(jnp.bfloat16)
 
     active = [
@@ -704,15 +761,16 @@ def _kernel_vt(
             nl = active[i + 1]
             built[nl] = _build(nl, plan.levels[nl])
         ohT = built.pop(l)
-        level = plan.levels[l]
+        off_l, h_l = _geom(l)
         keep = not recompute
         ohTs[l] = ohT if keep else None
-        tbl = table_ref[level.row_off : level.row_off + level.h, :]
-        # gT [128F, C*nt] f32: features on sublanes, samples on lanes.
-        # (bf16 gT + mask-multiply pick was MEASURED WORSE on v5e - train
-        # 19.85 -> 20.22 ms, inference 10.3 -> 27 ms: the i1->bf16 mask
-        # cast and the narrowing pass cost more than the halved VMEM
-        # traffic buys. Keep the f32 gT + i1 where.)
+        tbl = table_ref[off_l : off_l + h_l, :]
+        # gT [128F, C*nt] f32 (fl: [128, C*nt] - half the traffic at F=2):
+        # features on sublanes, samples on lanes. (bf16 gT + mask-multiply
+        # pick was MEASURED WORSE on v5e - train 19.85 -> 20.22 ms,
+        # inference 10.3 -> 27 ms: the i1->bf16 mask cast and the
+        # narrowing pass cost more than the halved VMEM traffic buys.
+        # Keep the f32 gT + i1 where.)
         gT = jax.lax.dot_general(
             tbl, ohT,
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -722,6 +780,21 @@ def _kernel_vt(
             abl_dep = jnp.sum(gT) + (abl_dep if abl_dep is not None else 0.0)
             continue
         maskl = _lane_mask(l)
+        if fl:
+            # ONE mask pass selects the F-row slab; an 8-aligned tree
+            # reduce folds the LQ slabs to [F, cnt] (rows ordered by
+            # j % F = f, so slicing recovers the f-major pick_rows)
+            gm = jnp.where(maskl, gT, 0.0)
+            red = gm[:8, :]
+            for k in range(1, LANE // 8):
+                red = red + gm[k * 8 : (k + 1) * 8, :]
+            w = 8
+            while w > F:
+                w //= 2
+                red = red[:w, :] + red[w:, :]
+            for f in range(F):
+                pick_rows[f * L + l] = red[f : f + 1, :]
+            continue
         if VT_PICK == "sum":
             # sublane reduction pick: full-throughput on the VPU in this
             # layout (the row-major twin's lane reduce was the +7.6 ms
@@ -846,6 +919,16 @@ def _kernel_vt(
         # (under VT_LOMASK="bcast" this REBUILDS the mask - one compare
         # pass per level, in exchange for not keeping [128L, C*nt] live)
         maskl = _lane_mask(l)
+        if fl:
+            # [128, C*nt]: the level's F cotangent rows tiled LQ times
+            # over sublanes (row j carries feature j % F), masked to the
+            # pick slab - one where pass (the standard layout pays F)
+            ct_l = jnp.concatenate(
+                [gy_all[f * L + l : f * L + l + 1, :] for f in range(F)],
+                axis=0,
+            )
+            tiled = jnp.concatenate([ct_l] * (LANE // F), axis=0)
+            return ohT_l, jnp.where(maskl, tiled, 0.0).astype(jnp.bfloat16)
         rhs_rows = []
         for f in range(F):
             grow = gy_all[f * L + l : f * L + l + 1, :]
@@ -862,13 +945,13 @@ def _kernel_vt(
             nl = active[i + 1]
             pend[nl] = _scatter_operands(nl)
         ohT_l, rhsT = pend.pop(l)
-        level = plan.levels[l]
+        off_l, h_l = _geom(l)
         contrib = jax.lax.dot_general(
             ohT_l, rhsT,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        sl = slice(level.row_off, level.row_off + level.h)
+        sl = slice(off_l, off_l + h_l)
         gtable_ref[sl, :] = gtable_ref[sl, :] + contrib
 
 
@@ -1341,7 +1424,17 @@ def _infer_kernel_vt(xT_ref, table_ref, e_ref, iota_col_ref, s_ref,
     F, C, L = plan.f, plan.n_corners, plan.n_levels
     cnt = C * nt
 
-    hiT, loT, cwT = _index_math_vt(plan, xT, cr)
+    fl = _use_fl(plan)
+    lq = (LANE // F) if fl else LANE
+    fl_geom = gk.fl_levels(plan)[0] if fl else None
+
+    def _geom(l):
+        if fl:
+            return fl_geom[l]
+        level = plan.levels[l]
+        return level.row_off, level.h
+
+    hiT, loT, cwT = _index_math_vt(plan, xT, cr, lq=lq)
     if VT_LOMASK == "mm":
         lo_bT = jax.lax.dot_general(
             e_ref[:], loT.astype(jnp.bfloat16),
@@ -1353,24 +1446,26 @@ def _infer_kernel_vt(xT_ref, table_ref, e_ref, iota_col_ref, s_ref,
     def _lane_mask(l):
         if VT_LOMASK == "mm":
             return mask_allT[l * LANE : (l + 1) * LANE, :]
-        return jnp.broadcast_to(loT[l : l + 1, :], (LANE, cnt)) == (
-            jax.lax.broadcasted_iota(jnp.int32, (LANE, cnt), 0)
-        )
+        iot = jax.lax.broadcasted_iota(jnp.int32, (LANE, cnt), 0)
+        if fl:
+            iot = iot // F
+        return jnp.broadcast_to(loT[l : l + 1, :], (LANE, cnt)) == iot
 
     def _build(l, level):
         """One level's transposed one-hot [h, C*nt] bf16 (the VT_OH forms
         produce identical values: hi < h <= 2^15 is bf16/f32-exact)."""
-        sl = slice(level.row_off, level.row_off + level.h)
         if VT_OH == "mm":
+            sl = slice(level.row_off, level.row_off + level.h)
             hi_exp = jax.lax.dot_general(
                 eh_ref[sl, :], hiT.astype(jnp.bfloat16),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             return (hi_exp == iota_rows_ref[sl, :]).astype(jnp.bfloat16)
-        hr = jnp.broadcast_to(hiT[l : l + 1, :], (level.h, cnt))
+        h = _geom(l)[1]
+        hr = jnp.broadcast_to(hiT[l : l + 1, :], (h, cnt))
         return (
-            hr == jax.lax.broadcasted_iota(jnp.int32, (level.h, cnt), 0)
+            hr == jax.lax.broadcasted_iota(jnp.int32, (h, cnt), 0)
         ).astype(jnp.bfloat16)
 
     G = _pick_group(plan, L)
@@ -1382,13 +1477,26 @@ def _infer_kernel_vt(xT_ref, table_ref, e_ref, iota_col_ref, s_ref,
         ohT = nxt
         if l + 1 < L:
             nxt = _build(l + 1, plan.levels[l + 1])
-        tbl = table_ref[level.row_off : level.row_off + level.h, :]
+        off_l, h_l = _geom(l)
+        tbl = table_ref[off_l : off_l + h_l, :]
         gT = jax.lax.dot_general(
             tbl, ohT,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         maskl = _lane_mask(l)
+        if fl:
+            gm = jnp.where(maskl, gT, 0.0)
+            red = gm[:8, :]
+            for k in range(1, LANE // 8):
+                red = red + gm[k * 8 : (k + 1) * 8, :]
+            w = 8
+            while w > F:
+                w //= 2
+                red = red[:w, :] + red[w:, :]
+            for f in range(F):
+                pick_rows[f * L + l] = red[f : f + 1, :]
+            continue
         if VT_PICK == "sum":
             for f in range(F):
                 gm_f = jnp.where(maskl, gT[f * LANE : (f + 1) * LANE, :], 0.0)
@@ -1447,13 +1555,16 @@ def prepare_forward(model, params):
     mlp = model.network
     n_net = mlp.n_params
     net_p, enc_p = params[:n_net], params[n_net:]
-    table_packed = gk.repack_table(plan, enc_p)
+    variant = _resolve_variant(plan, infer=True)
+    fl = variant == "vt" and _use_fl(plan)
+    table_packed = (
+        gk.repack_table_fl(plan, enc_p) if fl else gk.repack_table(plan, enc_p)
+    )
     wts = []
     off = 0
     for r, c in mlp.layer_sizes():
         wts.append(net_p[off : off + r * c].reshape(r, c).T.astype(jnp.bfloat16))
         off += r * c
-    variant = _resolve_variant(plan, infer=True)
     if variant != "base":
         perm, _ = _fm_row_perm(plan, int(wts[0].shape[0]))
         wts[0] = wts[0][perm, :]
@@ -1522,7 +1633,7 @@ def fused_forward_prepared(model, prepared, x):
         in_specs=[
             x_spec,
             pl.BlockSpec(
-                (plan.h_total, LANE * plan.f),
+                tuple(table_packed.shape),
                 lambda g: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -1558,7 +1669,12 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None,
     enc_pad = enc.padded_output_width - plan.out_width
 
     net_p, enc_p = params[:n_net], params[n_net:]
-    table_packed = gk.repack_table(plan, enc_p)
+    variant = _resolve_variant(plan)
+    fl = variant == "vt" and _use_fl(plan)
+    table_packed = (
+        gk.repack_table_fl(plan, enc_p) if fl else gk.repack_table(plan, enc_p)
+    )
+    tbl_shape = tuple(table_packed.shape)
     # transposed bf16 weights [fan_in, fan_out] (mlp_kernel convention)
     wts = []
     off = 0
@@ -1566,7 +1682,6 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None,
         wts.append(net_p[off : off + r * c].reshape(r, c).T.astype(jnp.bfloat16))
         off += r * c
     n_w = len(wts)
-    variant = _resolve_variant(plan)
     w0_inv = None
     if variant != "base":
         # the kernel's enc columns are f-major: permute W0's rows to match
@@ -1617,7 +1732,7 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None,
         has_ext_dl=ext_dl,
         recompute=recompute,
         ablate=ABLATE,
-        **({"pipeline": VT_PIPELINE if pipe else False} if vt
+        **({"pipeline": VT_PIPELINE if pipe else False, "fl": fl} if vt
            else {"variant": variant}),
     )
 
@@ -1666,7 +1781,7 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None,
         + [
             data_spec(out_dims),
             pl.BlockSpec(
-                (plan.h_total, LANE * plan.f),
+                tbl_shape,
                 lambda g: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -1682,7 +1797,7 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None,
     out_specs = (
         [
             pl.BlockSpec(
-                (plan.h_total, LANE * plan.f),
+                tbl_shape,
                 lambda g: (0, 0),
                 memory_space=pltpu.VMEM,
             )
@@ -1694,7 +1809,7 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None,
         + [pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)]
     )
     out_shape = (
-        [jax.ShapeDtypeStruct((plan.h_total, LANE * plan.f), jnp.float32)]
+        [jax.ShapeDtypeStruct(tbl_shape, jnp.float32)]
         + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wts]
         + [jax.ShapeDtypeStruct((1, 1), jnp.float32)]
     )
@@ -1758,7 +1873,11 @@ def fused_train_grads(model, loss, params, x, targets, loss_scale, pdf=None,
     scale = 1.0 if ext_dl else nt / b
     total = loss_sum * scale
 
-    genc = gk.unpack_table_grads(plan, gtable, int(enc_p.shape[0]))
+    genc = (
+        gk.unpack_table_grads_fl(plan, gtable, int(enc_p.shape[0]))
+        if fl
+        else gk.unpack_table_grads(plan, gtable, int(enc_p.shape[0]))
+    )
     gnet = jnp.concatenate([g.T.reshape(-1) for g in gwts])
     grads = jnp.concatenate([gnet, genc]).astype(jnp.float32) * scale
     return total, grads
@@ -1801,7 +1920,14 @@ def supported_ig(model, compute_dtype=None) -> bool:
     nt = max(plan.batch_tile // IG_TILE_DIV, 128)
     c_nt = plan.n_corners * nt
     gtable_bytes = plan.h_total * 128 * plan.f * 4
-    est = _cached_mask_bytes(plan, c_nt) + _table_bytes(plan) + gtable_bytes
+    fl = _resolve_variant(plan) == "vt" and _use_fl(plan)
+    est = (
+        _cached_mask_bytes(
+            plan, c_nt, oh_h=gk.fl_levels(plan)[1] if fl else None
+        )
+        + _table_bytes(plan)
+        + gtable_bytes
+    )
     return est < 70 * 1024 * 1024
 
 
@@ -1978,7 +2104,7 @@ def _ig_kernel(x_ref, gy_ref, table_ref, *rest, plan, mlp, n_weights,
 
 
 def _ig_kernel_vt(xT_ref, gyT_ref, table_ref, *rest, plan, mlp, n_weights,
-                  enc_pad):
+                  enc_pad, fl=False):
     """The transposed (vt) input-gradient megakernel: _ig_kernel with
     samples on the lane dimension throughout - sublane picks instead of
     lane reduces, sublane-broadcast scatter rhs, transposed MLP, and the
@@ -1986,7 +2112,8 @@ def _ig_kernel_vt(xT_ref, gyT_ref, table_ref, *rest, plan, mlp, n_weights,
     _ig_kernel (grid.h:171-211 finite-corner-difference); enc rows are
     f-major (f*L + l), so the wrapper applies the _fm_row_perm W0
     permutation. Lane masks use the bcast build unconditionally (the
-    train kernel's measured winner)."""
+    train kernel's measured winner). fl: the f-on-lanes table packing
+    (see VT_FL) - same trade as the train kernel's."""
     n_w = n_weights
     const_refs = rest[: len(gk._CONST_NAMES)]
     w_refs = rest[len(gk._CONST_NAMES) : len(gk._CONST_NAMES) + n_w]
@@ -2009,19 +2136,30 @@ def _ig_kernel_vt(xT_ref, gyT_ref, table_ref, *rest, plan, mlp, n_weights,
     F, C, L, D = plan.f, plan.n_corners, plan.n_levels, plan.d
     cnt = C * nt
 
+    lq = (LANE // F) if fl else LANE
+    fl_geom = gk.fl_levels(plan)[0] if fl else None
+
+    def _geom(l):
+        if fl:
+            return fl_geom[l]
+        level = plan.levels[l]
+        return level.row_off, level.h
+
     hiT, loT, cwT, termT, bitsT, derivT = _index_math_vt(
-        plan, xT, cr, want_ig=True
+        plan, xT, cr, want_ig=True, lq=lq
     )
 
     def _lane_mask(l):
-        return jnp.broadcast_to(loT[l : l + 1, :], (LANE, cnt)) == (
-            jax.lax.broadcasted_iota(jnp.int32, (LANE, cnt), 0)
-        )
+        iot = jax.lax.broadcasted_iota(jnp.int32, (LANE, cnt), 0)
+        if fl:
+            iot = iot // F
+        return jnp.broadcast_to(loT[l : l + 1, :], (LANE, cnt)) == iot
 
     def _build(l, level):
-        hr = jnp.broadcast_to(hiT[l : l + 1, :], (level.h, cnt))
+        h = _geom(l)[1]
+        hr = jnp.broadcast_to(hiT[l : l + 1, :], (h, cnt))
         return (
-            hr == jax.lax.broadcasted_iota(jnp.int32, (level.h, cnt), 0)
+            hr == jax.lax.broadcasted_iota(jnp.int32, (h, cnt), 0)
         ).astype(jnp.bfloat16)
 
     # ---- gather: unweighted picks (shared with dy_dx) --------------------
@@ -2033,13 +2171,26 @@ def _ig_kernel_vt(xT_ref, gyT_ref, table_ref, *rest, plan, mlp, n_weights,
             built[l + 1] = _build(l + 1, plan.levels[l + 1])
         ohT = built.pop(l)
         ohTs[l] = ohT  # cached for the scatter (per _ig_kernel's contract)
-        tbl = table_ref[level.row_off : level.row_off + level.h, :]
+        off_l, h_l = _geom(l)
+        tbl = table_ref[off_l : off_l + h_l, :]
         gT = jax.lax.dot_general(
             tbl, ohT,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         maskl = _lane_mask(l)
+        if fl:
+            gm = jnp.where(maskl, gT, 0.0)
+            red = gm[:8, :]
+            for k in range(1, LANE // 8):
+                red = red + gm[k * 8 : (k + 1) * 8, :]
+            w = 8
+            while w > F:
+                w //= 2
+                red = red[:w, :] + red[w:, :]
+            for f in range(F):
+                pick_rows[f * L + l] = red[f : f + 1, :]
+            continue
         for f in range(F):
             gm_f = jnp.where(maskl, gT[f * LANE : (f + 1) * LANE, :], 0.0)
             pick_rows[f * L + l] = jnp.sum(gm_f, axis=0, keepdims=True)
@@ -2092,6 +2243,13 @@ def _ig_kernel_vt(xT_ref, gyT_ref, table_ref, *rest, plan, mlp, n_weights,
 
     def _scatter_operands(l):
         maskl = _lane_mask(l)
+        if fl:
+            ct_l = jnp.concatenate(
+                [gy_all[f * L + l : f * L + l + 1, :] for f in range(F)],
+                axis=0,
+            )
+            tiled = jnp.concatenate([ct_l] * (LANE // F), axis=0)
+            return jnp.where(maskl, tiled, 0.0).astype(jnp.bfloat16)
         rhs_rows = []
         for f in range(F):
             grow = gy_all[f * L + l : f * L + l + 1, :]
@@ -2109,7 +2267,8 @@ def _ig_kernel_vt(xT_ref, gyT_ref, table_ref, *rest, plan, mlp, n_weights,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        sl = slice(level.row_off, level.row_off + level.h)
+        off_l, h_l = _geom(l)
+        sl = slice(off_l, off_l + h_l)
         gtable_ref[sl, :] = gtable_ref[sl, :] + contrib
 
     # ---- dy_dx contraction (transposed) -----------------------------------
@@ -2155,7 +2314,12 @@ def fused_ig_grads(model, params, x, gy):
     n_net = mlp.n_params
     enc_pad = enc.padded_output_width - plan.out_width
     net_p, enc_p = params[:n_net], params[n_net:]
-    table_packed = gk.repack_table(plan, enc_p)
+    vt = _resolve_variant(plan) == "vt"
+    fl = vt and _use_fl(plan)
+    table_packed = (
+        gk.repack_table_fl(plan, enc_p) if fl else gk.repack_table(plan, enc_p)
+    )
+    tbl_shape = tuple(table_packed.shape)
     wts = []
     off = 0
     for r, c in mlp.layer_sizes():
@@ -2164,7 +2328,6 @@ def fused_ig_grads(model, params, x, gy):
         )
         off += r * c
     n_w = len(wts)
-    vt = _resolve_variant(plan) == "vt"
     w0_inv = None
     if vt:
         perm, w0_inv = _fm_row_perm(plan, int(wts[0].shape[0]))
@@ -2190,7 +2353,7 @@ def fused_ig_grads(model, params, x, gy):
         x_spec, gy_spec = data_spec(d_in), data_spec(out_w)
         gx_spec = data_spec(d_in)
         gx_shape = jax.ShapeDtypeStruct((d_in, padded), jnp.float32)
-        kern = _ig_kernel_vt
+        kern = functools.partial(_ig_kernel_vt, fl=fl)
     else:
         ext_specs, ext_args = gk._ext_specs_args(plan, x, nt=nt)
         x_spec = pl.BlockSpec((nt, d_in), lambda g: (g, 0),
@@ -2207,7 +2370,7 @@ def fused_ig_grads(model, params, x, gy):
             x_spec,
             gy_spec,
             pl.BlockSpec(
-                (plan.h_total, LANE * plan.f), lambda g: (0, 0),
+                tbl_shape, lambda g: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ]
@@ -2221,7 +2384,7 @@ def fused_ig_grads(model, params, x, gy):
     out_specs = (
         [
             pl.BlockSpec(
-                (plan.h_total, LANE * plan.f), lambda g: (0, 0),
+                tbl_shape, lambda g: (0, 0),
                 memory_space=pltpu.VMEM,
             )
         ]
@@ -2232,7 +2395,7 @@ def fused_ig_grads(model, params, x, gy):
         + [gx_spec]
     )
     out_shape = (
-        [jax.ShapeDtypeStruct((plan.h_total, LANE * plan.f), jnp.float32)]
+        [jax.ShapeDtypeStruct(tbl_shape, jnp.float32)]
         + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wts]
         + [gx_shape]
     )
@@ -2254,7 +2417,11 @@ def fused_ig_grads(model, params, x, gy):
     if w0_inv is not None:
         gwts = [gwts[0][w0_inv, :]] + list(gwts[1:])
     gx = outs[1 + n_w].T[:b] if vt else outs[1 + n_w][:b]
-    genc = gk.unpack_table_grads(plan, gtable, int(enc_p.shape[0]))
+    genc = (
+        gk.unpack_table_grads_fl(plan, gtable, int(enc_p.shape[0]))
+        if fl
+        else gk.unpack_table_grads(plan, gtable, int(enc_p.shape[0]))
+    )
     gnet = jnp.concatenate([g.T.reshape(-1) for g in gwts])
     return jnp.concatenate([gnet, genc]).astype(jnp.float32), gx
 

@@ -118,7 +118,7 @@ class Trainer:
 
         saved = (
             tk.RECOMPUTE_MASKS, tk.FUSED_TILE_DIV, tk.PICK_VARIANT,
-            tk.INFER_VARIANT, tk.INFER_TILE, tk.VT_LOMASK,
+            tk.INFER_VARIANT, tk.INFER_TILE, tk.VT_LOMASK, tk.VT_FL,
         )
         s = self.schedule
         tk.RECOMPUTE_MASKS = s.recompute_masks
@@ -127,12 +127,13 @@ class Trainer:
         tk.INFER_VARIANT = s.infer_variant
         tk.INFER_TILE = s.infer_tile
         tk.VT_LOMASK = s.vt_lomask
+        tk.VT_FL = s.vt_fl
         try:
             yield
         finally:
             (
                 tk.RECOMPUTE_MASKS, tk.FUSED_TILE_DIV, tk.PICK_VARIANT,
-                tk.INFER_VARIANT, tk.INFER_TILE, tk.VT_LOMASK,
+                tk.INFER_VARIANT, tk.INFER_TILE, tk.VT_LOMASK, tk.VT_FL,
             ) = saved
 
     # ------------------------------------------------------------------
@@ -288,7 +289,7 @@ class Trainer:
             if self.schedule is not None
             else (
                 _tk.RECOMPUTE_MASKS, _tk.FUSED_TILE_DIV, _tk.PICK_VARIANT,
-                _tk.INFER_VARIANT, _tk.INFER_TILE, _tk.VT_LOMASK,
+                _tk.INFER_VARIANT, _tk.INFER_TILE, _tk.VT_LOMASK, _tk.VT_FL,
             )
         )
         # trace-time globals NOT covered by Schedule (sweep/ablation knobs

@@ -538,6 +538,43 @@ def test_vt_lomask_forms_match_mm(monkeypatch, lomask):
     np.testing.assert_array_equal(infs[lomask], infs["mm"])
 
 
+@pytest.mark.parametrize("f", [2, 4])
+def test_vt_fl_matches_standard_layout(monkeypatch, f):
+    """VT_FL (f-on-lanes packing, lane = (row % LQ)*F + f) selects the
+    same table entries through one-hot matmuls in both layouts, so loss,
+    gradients, and forward must be BIT-identical to the standard packing
+    (the tree reduce only reassociates exact zeros). f=4 exercises
+    LQ=32 and the two-stage fold."""
+    from tcnn_tpu.ops.pallas import train_kernel as tk
+    from tcnn_tpu.ops.pallas.train_kernel import fused_forward
+
+    m = _model(n_features_per_level=f)
+    tr = m.trainer
+    rng = np.random.default_rng(14)
+    B = 700  # NOT a tile multiple
+    x = jnp.asarray(rng.uniform(size=(B, 2)), jnp.float32)
+    t = jnp.asarray(rng.uniform(size=(B, 3)), jnp.float32)
+    monkeypatch.setattr(tk, "PICK_VARIANT", "vt")
+
+    outs, infs = {}, {}
+    for fl in (False, True):
+        monkeypatch.setattr(tk, "VT_FL", fl)
+        assert tk._use_fl(m.network.encoding._kernel_plan()) == fl
+        with pltpu.force_tpu_interpret_mode():
+            outs[fl] = fused_train_grads(
+                m.network, tr.loss_fn, tr.state["params"], x, t,
+                tr.loss_scale,
+            )
+            infs[fl] = np.asarray(
+                fused_forward(m.network, tr.state["params"], x), np.float32
+            )
+    assert float(outs[True][0]) == float(outs[False][0])
+    np.testing.assert_array_equal(
+        np.asarray(outs[True][1]), np.asarray(outs[False][1])
+    )
+    np.testing.assert_array_equal(infs[True], infs[False])
+
+
 def test_infer_gate_rejects_oversized_tile(monkeypatch):
     """supported_infer sizes the forward kernel at the process-global
     INFER_TILE: a tile autotuned for one model must not drag a different
