@@ -22,6 +22,11 @@ alignment matters):
         slab  = dense_ext's stride-F walk (63 unaligned 2-row adds)
   rhs   tile  = dense_ext's concat of LQ copies of ct [F, cnt]
         bcast = F sublane broadcasts masked to (lane_slab & r%F==f)
+
+MEASURED (v5e, 2026-08-20): cur full loop 20.17 ms; fl tree/tile
+18.85, tree/bcast 19.45, slab/tile 19.18; gather+pick cur 11.91,
+fl tree 11.11, fl slab 11.34. Winner tree/tile -> shipped as
+train_kernel.VT_FL (end-to-end: train step 19.64 -> 18.20 ms).
 """
 import functools
 import sys
